@@ -1,0 +1,114 @@
+"""GeoipEnricher — the enrich-map operator (SURVEY.md §2.2-2.3, J1/J2/P1-P3).
+
+Spark restatement of the reference's per-record dataflow
+(/root/reference/lib/fluent/plugin/filter_geoip.rb:106-139):
+
+    get_address (compiled accessors)          → accessor Columns       (rb:159-165)
+    geolocate   (DB probe per lookup field)   → one broadcast-searchsorted
+                                                pandas-UDF struct per key (rb:167-185)
+    create_placeholder (attr dig + lat/lon default)
+                                              → typed placeholder Columns (rb:187-202)
+    add_geoip_field (template eval, 3 modes)  → withColumns in directive order
+                                                (rb:121-139)
+    skip_adding_null_record short-circuit     → per-column F.when mask + a
+                                                ``geoip_skipped`` flag (rb:122-123)
+
+The whole stage is a narrow transformation: Catalyst fuses the accessor
+projection, the template Columns and the conditional into one
+WholeStageCodegen span with a single ArrowEvalPython crossing for all lookup
+UDFs in the projection. No shuffle is introduced.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from ..config import CompiledConfig, GeoipConfig, compile_config
+from ..functions.templates import compile_template, typed_null
+from .geolookup import GeoDatabase, make_lookup_udf, sanitize_attr
+
+SKIP_FLAG = "geoip_skipped"
+
+
+class GeoipEnricher:
+    """Compile once, apply to any DataFrame (batch or streaming)."""
+
+    def __init__(self, spark: SparkSession, config: GeoipConfig, database: GeoDatabase):
+        self.spark = spark
+        self.config = config
+        self.db = database
+        self.compiled: CompiledConfig = compile_config(config)
+        # attrs needed per lookup key (common-subexpression reuse of the
+        # reference's uniq placeholder dedup, rb:86).
+        self._attrs_by_key: dict[str, list[str]] = {}
+        for ph in self.compiled.placeholders:
+            if ph.record_key in self.compiled.accessors:
+                self._attrs_by_key.setdefault(ph.record_key, [])
+                if ph.geoip_key not in self._attrs_by_key[ph.record_key]:
+                    self._attrs_by_key[ph.record_key].append(ph.geoip_key)
+        self._udf_cache: dict[tuple[str, ...], object] = {}
+
+    def _udf_for(self, attrs: list[str]):
+        key = tuple(attrs)
+        if key not in self._udf_cache:
+            self._udf_cache[key] = make_lookup_udf(self.spark, self.db, attrs)
+        return self._udf_cache[key]
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        comp = self.compiled
+        cfg = self.config
+        if not comp.templates:
+            return df
+
+        # 1) geolocate: one geo-struct column per (used) lookup key
+        geo_cols: dict[str, str] = {}
+        from ..config import accessor_column
+        for i, (key, attrs) in enumerate(self._attrs_by_key.items()):
+            col_name = f"__geo_{i}"
+            udf = self._udf_for(attrs)
+            ip_col = accessor_column(comp.accessors[key]).cast("string")
+            df = df.withColumn(col_name, udf(ip_col))
+            geo_cols[key] = col_name
+
+        # 2) create_placeholder: typed Column per unique placeholder
+        ph_cols: dict[str, tuple[Column, str]] = {}
+        for ph in comp.placeholders:
+            ph_cols[ph.text] = self._placeholder_column(ph, geo_cols)
+
+        # 3) skip_adding_null_record: first placeholder nil → row untouched
+        skip_cond = None
+        if cfg.skip_adding_null_record and comp.placeholders:
+            first_col, _ = ph_cols[comp.placeholders[0].text]
+            skip_cond = first_col.isNull()
+
+        # 4) add_geoip_field: evaluate templates in directive order
+        out: dict[str, Column] = {}
+        for out_field, template in comp.templates.items():
+            col = compile_template(template, ph_cols, cfg.fast_float_str)
+            if skip_cond is not None:
+                # skipped rows keep their pre-existing value (record returned
+                # unmodified, rb:122-123); fields that did not pre-exist stay
+                # null (fixed-schema DataFrame restatement of "not added").
+                existing = F.col(f"`{out_field}`") if out_field in df.columns \
+                    else F.lit(None)
+                col = F.when(skip_cond, existing).otherwise(col)
+            out[out_field] = col
+        if skip_cond is not None:
+            out[SKIP_FLAG] = skip_cond
+        df = df.withColumns(out)
+        return df.drop(*geo_cols.values())
+
+    def _placeholder_column(self, ph, geo_cols: dict[str, str]) -> tuple[Column, str]:
+        dtype = self.db.attr_type(ph.geoip_key)
+        if ph.record_key not in geo_cols:
+            # unknown record key → placeholder never set → nil (rb:191)
+            return typed_null(dtype), dtype
+        geo = F.col(geo_cols[ph.record_key])
+        hit = geo.getField("__hit__")
+        raw = geo.getField(sanitize_attr(ph.geoip_key))
+        leaf = ph.geoip_key.rsplit(".", 1)[-1]
+        if leaf in ("latitude", "longitude"):
+            # hit with nil lat/lon → 0.0 default (rb:192-198, test:456-480)
+            raw = F.coalesce(raw, F.lit(0.0))
+        col = F.when(hit, raw).otherwise(typed_null(dtype))
+        return col, dtype

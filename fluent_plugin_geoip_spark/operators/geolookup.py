@@ -1,0 +1,187 @@
+"""Broadcast interval-lookup kernel — the Spark-native form of the reference's
+MaxMind DB probe (J1 in SURVEY.md §2.3).
+
+The reference (/root/reference/lib/fluent/plugin/filter_geoip.rb:167-185,
+204-217) loads an IP-range→attributes interval map fully into worker memory
+(``:memory`` flag, filter_geoip.rb:207) and probes it per record. The Spark
+restatement: the range table is sorted once on the driver into plain NumPy
+arrays, broadcast to every executor, and probed with ``np.searchsorted``
+(binary search) inside an Arrow-batched scalar pandas UDF — one JVM↔Python
+crossing per batch, zero per-row Python.
+
+Why not a join: an interval probe is a non-equi join; Spark would plan it as
+BroadcastNestedLoopJoin, O(rows × ranges). Binary search over a broadcast
+sorted array is O(rows × log ranges) and shuffle-free — it keeps the enrich
+stage a narrow map, which is what lets the pipeline scale linearly with
+executors (the reference's ``multi_workers_ready? → true`` contract,
+filter_geoip.rb:115-117).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F, types as T
+
+from ..functions.ipv4 import ipv4_to_uint32
+
+# Attr whitelists of the two flat backends (filter_geoip.rb:31-32).
+GEOIP_KEYS = [
+    "city", "latitude", "longitude", "country_code3", "country_code",
+    "country_name", "dma_code", "area_code", "region",
+]
+GEOIP2_COMPAT_KEYS = [
+    "city", "country_code", "country_name", "latitude", "longitude",
+    "postal_code", "region", "region_name",
+]
+BACKEND_LIBRARIES = ("geoip", "geoip2_compat", "geoip2_c")
+
+# dtypes for flat-backend attrs (README.md:341-342: dma/area are ints).
+_FLAT_DTYPES = {
+    "latitude": "double", "longitude": "double",
+    "dma_code": "int", "area_code": "int",
+}
+
+_SPARK_TYPES = {
+    "string": T.StringType(),
+    "double": T.DoubleType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+}
+
+
+def attr_dtype(profile: str, attr_path: str, known: dict[str, str] | None = None) -> str:
+    """Logical dtype of a lookup attribute ('string'|'double'|'int'|'long')."""
+    if known and attr_path in known:
+        return known[attr_path]
+    leaf = attr_path.rsplit(".", 1)[-1]
+    if leaf in ("latitude", "longitude"):
+        return "double"
+    if profile == "geoip" and leaf in ("dma_code", "area_code"):
+        return "int"
+    if leaf in ("geoname_id", "metro_code", "accuracy_radius", "asn"):
+        return "long"
+    return "string"
+
+
+def sanitize_attr(attr_path: str) -> str:
+    """Canonical struct-field name for an attr dot-path (dots/brackets → _)."""
+    return attr_path.replace(".", "_").replace("[", "_").replace("]", "")
+
+
+@dataclass
+class GeoDatabase:
+    """Sorted, non-overlapping IPv4 range table with per-range attributes.
+
+    ``attrs`` maps canonical attr dot-paths (e.g. ``city.names.en``,
+    ``location.latitude`` for the geoip2_c profile; flat keys like ``city``
+    for geoip/geoip2_compat) to per-range value arrays. A path absent from
+    ``attrs`` resolves to null for every range — mirroring geoip2_c's
+    "any field may be dug, missing digs return nil" semantics
+    (filter_geoip.rb:96-99, 187-202).
+    """
+
+    profile: str
+    starts: np.ndarray
+    ends: np.ndarray
+    attrs: dict[str, np.ndarray]
+    dtypes: dict[str, str] = field(default_factory=dict)
+
+    @classmethod
+    def from_rows(cls, rows: list[dict], profile: str = "geoip2_c",
+                  dtypes: dict[str, str] | None = None) -> "GeoDatabase":
+        """Build from dicts with ``range_start``/``range_end`` + attr values."""
+        if profile not in BACKEND_LIBRARIES:
+            raise ValueError(f"unknown backend profile: {profile}")
+        rows = sorted(rows, key=lambda r: r["range_start"])
+        starts = np.array([r["range_start"] for r in rows], dtype=np.int64)
+        ends = np.array([r["range_end"] for r in rows], dtype=np.int64)
+        if np.any(ends < starts):
+            raise ValueError("range_end < range_start")
+        if len(starts) > 1 and np.any(starts[1:] <= ends[:-1]):
+            raise ValueError("overlapping IP ranges")
+        keys: list[str] = sorted({k for r in rows for k in r} - {"range_start", "range_end"})
+        dtypes = dict(dtypes or {})
+        attrs: dict[str, np.ndarray] = {}
+        for k in keys:
+            dt = dtypes.get(k) or attr_dtype(profile, k)
+            dtypes[k] = dt
+            vals = [r.get(k) for r in rows]
+            if dt == "double":
+                attrs[k] = np.array([np.nan if v is None else float(v) for v in vals],
+                                    dtype=np.float64)
+            else:
+                attrs[k] = np.array(vals, dtype=object)
+        return cls(profile=profile, starts=starts, ends=ends, attrs=attrs, dtypes=dtypes)
+
+    def attr_type(self, attr_path: str) -> str:
+        return attr_dtype(self.profile, attr_path, self.dtypes)
+
+    def lookup_batch(self, ips: pd.Series, attr_paths: list[str]) -> pd.DataFrame:
+        """Probe a batch: returns DataFrame with ``__hit__`` + one column per attr."""
+        values, valid = ipv4_to_uint32(ips)
+        n = len(values)
+        if len(self.starts) == 0:
+            hit = np.zeros(n, dtype=bool)
+            idx = np.zeros(n, dtype=np.int64)
+        else:
+            idx = np.searchsorted(self.starts, values, side="right") - 1
+            idx_c = np.clip(idx, 0, len(self.starts) - 1)
+            hit = valid & (idx >= 0) & (self.ends[idx_c] >= values)
+            idx = idx_c
+        out: dict[str, object] = {"__hit__": hit}
+        for p in attr_paths:
+            dt = self.attr_type(p)
+            arr = self.attrs.get(p)
+            name = sanitize_attr(p)
+            if arr is None:
+                if dt == "double":
+                    out[name] = pd.array([None] * n, dtype="Float64")
+                elif dt in ("int", "long"):
+                    out[name] = pd.array([None] * n, dtype="Int64")
+                else:
+                    out[name] = pd.array([None] * n, dtype=object)
+                continue
+            g = arr[idx] if n else arr[:0]
+            if dt == "double":
+                vals = pd.array(g, dtype="Float64")
+                vals[~hit | np.isnan(arr[idx] if n else np.zeros(0))] = None
+                out[name] = vals
+            elif dt in ("int", "long"):
+                vals = pd.array(
+                    [None if (not h or v is None) else int(v) for h, v in zip(hit, g)],
+                    dtype="Int64")
+                out[name] = vals
+            else:
+                vals = g.copy() if n else np.array([], dtype=object)
+                vals[~hit] = None
+                out[name] = pd.array(vals, dtype=object)
+        return pd.DataFrame(out)
+
+
+def lookup_struct_type(db: GeoDatabase, attr_paths: list[str]) -> T.StructType:
+    fields = [T.StructField("__hit__", T.BooleanType(), False)]
+    for p in attr_paths:
+        fields.append(T.StructField(sanitize_attr(p), _SPARK_TYPES[db.attr_type(p)], True))
+    return T.StructType(fields)
+
+
+def make_lookup_udf(spark, db: GeoDatabase, attr_paths: list[str]):
+    """Create the broadcast-searchsorted pandas UDF for a set of attr paths.
+
+    One UDF instance is shared across all lookup columns needing the same
+    attrs (common-subexpression reuse of the reference's ``uniq`` placeholder
+    dedup, filter_geoip.rb:86). The database rides a Spark broadcast variable
+    — deserialized once per executor, shared by its Arrow workers.
+    """
+    attr_paths = list(attr_paths)
+    bc = spark.sparkContext.broadcast(db)
+    schema = lookup_struct_type(db, attr_paths)
+
+    @F.pandas_udf(schema)
+    def geo_lookup(ips: pd.Series) -> pd.DataFrame:
+        return bc.value.lookup_batch(ips, attr_paths)
+
+    return geo_lookup
