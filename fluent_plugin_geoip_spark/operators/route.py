@@ -1,0 +1,125 @@
+"""Route stage (S4/S6 in SURVEY.md §2.1): deterministic multi-sink fan-out to
+per-country partitions, with salted repartitioning, per-partition lineage
+manifests and manifest-driven resume.
+
+Lineage of the capability: the reference family's ``GeoipOutput`` rewrote the
+fluentd tag from the enriched record and re-emitted, letting ``<match>``
+blocks fan events out per country (removed in reference v1.3.0,
+/root/reference/README.md:24). Spark restatement: the route key is a column;
+fan-out is ``write.partitionBy(route_key)``; tag-pattern dispatch (S2)
+becomes a filter on the key.
+
+Scale design:
+- **skew**: country is Zipfian (US/CN hotspots). A plain
+  ``repartition(country)`` puts each hot country in ONE task. We salt:
+  ``repartition(num, country, salt)`` with ``salt = pmod(hash(url), buckets)``
+  so a hot country spreads over ``buckets`` tasks while each output partition
+  directory still receives only its own rows.
+- **idempotent retries / resume**: dynamic partition overwrite
+  (``partitionOverwriteMode=dynamic``) makes re-writing a partition atomic at
+  the partition level; the manifest records per-partition row counts +
+  checksums, and ``resume=True`` skips partitions already recorded — so a
+  re-run after executor/driver loss only rewrites incomplete partitions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, functions as F
+
+UNROUTED = "__unrouted__"
+MANIFEST_DIR = "_lineage"
+
+
+def with_route_key(df: DataFrame, country_col: str = "country",
+                   route_col: str = "route_country") -> DataFrame:
+    """Null/miss countries route to the UNROUTED sink (deterministic total
+    routing: every row lands in exactly one sink)."""
+    return df.withColumn(route_col, F.coalesce(F.col(country_col), F.lit(UNROUTED)))
+
+
+def route_and_write(
+    df: DataFrame,
+    out_dir: str,
+    route_col: str = "route_country",
+    salt_buckets: int = 16,
+    num_partitions: int | None = None,
+    resume: bool = False,
+    fmt: str = "parquet",
+) -> dict:
+    """Fan the DataFrame out to ``out_dir/<route_col>=<value>/`` sinks.
+
+    Returns the lineage manifest: {partition_value: {"rows": n, "checksum": c}}.
+    """
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    done: dict[str, dict] = read_manifest(out_dir) if resume else {}
+    if done:
+        df = df.filter(~F.col(route_col).isin(list(done.keys())))
+
+    salt = F.pmod(F.xxhash64(F.col("url")), F.lit(salt_buckets))
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    routed = df.repartition(n, F.col(route_col), salt)
+
+    # lineage accounting in the same pass as the write would need a custom
+    # commit protocol; we compute it as a cheap follow-up aggregate on the
+    # written files (reads only the route column → column-pruned scan).
+    (routed.write.mode("overwrite").partitionBy(route_col).format(fmt)
+        .save(out_dir))
+
+    try:
+        written = spark.read.format(fmt).load(out_dir)
+    except Exception:
+        # nothing was ever written (empty input / all partitions resumed)
+        write_manifest(out_dir, done)
+        return dict(done)
+    stats = (
+        written.groupBy(route_col)
+        .agg(F.count("*").alias("rows"),
+             F.sum(F.crc32(F.col("url").cast("binary")) % F.lit(1 << 31))
+              .alias("checksum"))
+        .collect())
+    manifest = dict(done)
+    for r in stats:
+        key = r[route_col]
+        if key in done:
+            continue
+        manifest[key] = {"rows": r["rows"], "checksum": int(r["checksum"] or 0),
+                         "completed_at": int(time.time())}
+    write_manifest(out_dir, manifest)
+    return manifest
+
+
+def manifest_path(out_dir: str) -> str:
+    return os.path.join(out_dir, MANIFEST_DIR, "manifest.json")
+
+
+def read_manifest(out_dir: str) -> dict:
+    p = manifest_path(out_dir)
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        return json.load(f)
+
+
+def write_manifest(out_dir: str, manifest: dict) -> None:
+    p = manifest_path(out_dir)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, p)
+
+
+def per_sink_counts(out_dir: str, route_col: str = "route_country",
+                    fmt: str = "parquet"):
+    """Recount rows per sink directly from the written sinks (the routed-row
+    equality oracle reads this, BASELINE.json:2)."""
+    from pyspark.sql import SparkSession
+    spark = SparkSession.getActiveSession()
+    return (spark.read.format(fmt).load(out_dir)
+            .groupBy(route_col).agg(F.count("*").alias("rows")))

@@ -1,0 +1,96 @@
+"""The flagship parse → enrich → route → aggregate plan (north_rule,
+BASELINE.json:14) composed from the stage operators.
+
+The logical plan is fully declarative: parse is native regex projection,
+enrich is one ArrowEvalPython crossing (broadcast searchsorted kernel),
+route adds a salted repartition (the ONLY shuffle before the sink), aggregate
+is a Catalyst partial+final hash agg. At 1000 executors nothing here changes:
+the scan parallelizes by file split, the enrich stage is a narrow map, the
+broadcast DB replicates once per executor, and the fan-out shuffle is salted
+against country skew.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..config import GeoipConfig
+from ..operators.aggregate import (
+    country_lang_counts, observe_pipeline_metrics, sink_counts,
+)
+from ..operators.enrich import GeoipEnricher
+from ..operators.geolookup import GeoDatabase
+from ..operators.parse import parse_pages
+from ..operators.route import route_and_write, with_route_key
+from ..sources.fixtures import world_db
+
+# The flagship <record> config — Spark restatement of the reference tutorial
+# (/root/reference/README.md:248-276: host → city / lat / lon) plus the
+# country key the router needs.
+FLAGSHIP_RECORDS = {
+    "country": "${country.iso_code['client_ip']}",
+    "city": "${city.names.en['client_ip']}",
+    "latitude": "${location.latitude['client_ip']}",
+    "longitude": "${location.longitude['client_ip']}",
+}
+
+
+@dataclass
+class PipelineResult:
+    enriched: DataFrame
+    counts: DataFrame
+    metrics: dict = field(default_factory=dict)
+    manifest: dict = field(default_factory=dict)
+
+
+class GeoipPipeline:
+    """parse → enrich → route → aggregate over a pages DataFrame."""
+
+    def __init__(self, spark: SparkSession, database: GeoDatabase | None = None,
+                 records: dict[str, str] | None = None,
+                 skip_adding_null_record: bool = False):
+        self.spark = spark
+        self.db = database or world_db()
+        cfg = GeoipConfig(
+            lookup_keys=["client_ip"],
+            records=dict(records or FLAGSHIP_RECORDS),
+            skip_adding_null_record=skip_adding_null_record,
+        )
+        self.enricher = GeoipEnricher(spark, cfg, self.db)
+
+    def enrich(self, pages: DataFrame) -> DataFrame:
+        parsed = parse_pages(pages)
+        return with_route_key(self.enricher.transform(parsed))
+
+    def run(self, pages: DataFrame, out_dir: str | None = None,
+            resume: bool = False, salt_buckets: int = 16,
+            collect_metrics: bool = True) -> PipelineResult:
+        enriched = self.enrich(pages)
+        obs = None
+        if collect_metrics:
+            enriched, obs = observe_pipeline_metrics(enriched)
+        manifest = {}
+        if out_dir is not None:
+            keep = [c for c in enriched.columns if c != "access"]
+            manifest = route_and_write(enriched.select(*keep), out_dir,
+                                       salt_buckets=salt_buckets, resume=resume)
+            try:
+                counts = country_lang_counts(
+                    self.spark.read.parquet(out_dir).withColumn(
+                        "country", F.when(F.col("route_country") == "__unrouted__",
+                                          F.lit(None)).otherwise(F.col("route_country"))))
+            except Exception:  # nothing on disk (empty input)
+                counts = country_lang_counts(enriched)
+        else:
+            counts = country_lang_counts(enriched)
+        # force the aggregate (and metrics) if we haven't already written
+        counts = counts.cache()
+        counts.count()
+        metrics = dict(obs.get) if obs is not None else {}
+        return PipelineResult(enriched=enriched, counts=counts,
+                              metrics=metrics, manifest=manifest)
+
+    def sink_counts(self, enriched: DataFrame) -> DataFrame:
+        return sink_counts(enriched)

@@ -1,0 +1,137 @@
+"""End-to-end pipeline tests: parse → enrich → route → aggregate over the
+deterministic pages table, verified against an INDEPENDENT DuckDB
+recomputation (SQL range join on the same world table) — the routed-row /
+per-sink count equality gate of BASELINE.json:2."""
+
+import glob
+import os
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from fluent_plugin_geoip_spark.operators.parse import (
+    extract_text, parse_pages, text_invariant_violations,
+)
+from fluent_plugin_geoip_spark.operators.route import read_manifest, write_manifest
+from fluent_plugin_geoip_spark.plans.pipeline import GeoipPipeline
+from fluent_plugin_geoip_spark.sources.fixtures import world_rows
+from fluent_plugin_geoip_spark.sources.pages import generate_pages
+
+N = 2000
+
+
+def world_ranges_sql() -> str:
+    vals = ",\n".join(
+        f"({r['range_start']}, {r['range_end']}, '{r['country.iso_code']}')"
+        for r in world_rows())
+    return f"(VALUES\n{vals}) AS r(range_start, range_end, country)"
+
+
+@pytest.fixture(scope="module")
+def pages_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("pages") / "pages.parquet")
+    generate_pages(spark, N, seed=42, partitions=4).write.parquet(d)
+    return d
+
+
+def duckdb_expected_counts(pages_dir):
+    con = duckdb.connect()
+    return con.execute(f"""
+        WITH parsed AS (
+          SELECT lang,
+                 CASE WHEN regexp_matches(text, '^\\d+\\.\\d+\\.\\d+\\.\\d+ ')
+                      THEN CAST(string_split(regexp_extract(text, '^(\\S+) ', 1), '.')[1] AS BIGINT) * 16777216
+                         + CAST(string_split(regexp_extract(text, '^(\\S+) ', 1), '.')[2] AS BIGINT) * 65536
+                         + CAST(string_split(regexp_extract(text, '^(\\S+) ', 1), '.')[3] AS BIGINT) * 256
+                         + CAST(string_split(regexp_extract(text, '^(\\S+) ', 1), '.')[4] AS BIGINT)
+                      ELSE NULL END AS ip_int
+          FROM read_parquet('{pages_dir}/*.parquet')
+        )
+        SELECT coalesce(r.country, '__miss__') AS country, lang,
+               CAST(count(*) AS BIGINT) AS n
+        FROM parsed p LEFT JOIN {world_ranges_sql()}
+          ON p.ip_int BETWEEN r.range_start AND r.range_end
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """).fetchall()
+
+
+def test_generator_deterministic(spark):
+    a = generate_pages(spark, 100, seed=42).collect()
+    b = generate_pages(spark, 100, seed=42, partitions=7).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    c = generate_pages(spark, 100, seed=7).collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))
+
+
+def test_text_invariant(spark, pages_dir):
+    pages = spark.read.parquet(pages_dir)
+    assert text_invariant_violations(pages).count() == 0
+    # and the parse stage flag agrees
+    flagged = parse_pages(pages, validate_text=True)
+    assert flagged.filter(~F.col("text_ok")).count() == 0
+
+
+def test_parse_fields(spark, pages_dir):
+    pages = spark.read.parquet(pages_dir)
+    parsed = parse_pages(pages)
+    row = (parsed.filter(F.col("client_ip").rlike(r"^\d+\.")).select("access")
+           .first()["access"])
+    assert row["method"] == "GET"
+    assert row["status"] in (200, 301, 404, 500)
+    assert row["bytes"] is not None
+    # host extracted from url
+    h = parsed.select("host").first()["host"]
+    assert h.startswith("www.site")
+
+
+def test_pipeline_counts_match_duckdb(spark, pages_dir):
+    pages = spark.read.parquet(pages_dir)
+    result = GeoipPipeline(spark).run(pages)
+    got = sorted(tuple(r) for r in result.counts.collect())
+    expected = sorted(tuple(r) for r in duckdb_expected_counts(pages_dir))
+    assert got == expected
+    m = result.metrics
+    assert m["rows_total"] == N
+    assert m["rows_enriched"] + m["rows_missed"] == N
+    assert m["rows_parsed"] >= m["rows_enriched"]
+
+
+def test_route_write_and_sink_equality(spark, pages_dir, tmp_path):
+    pages = spark.read.parquet(pages_dir)
+    out = str(tmp_path / "routed")
+    result = GeoipPipeline(spark).run(pages, out_dir=out)
+    # per-sink counts from written files == manifest == independent recount
+    manifest = read_manifest(out)
+    sink_rows = {d.split("=")[-1] for d in glob.glob(f"{out}/route_country=*")}
+    assert sink_rows == set(manifest.keys())
+    written = spark.read.parquet(out)
+    recount = {r["route_country"]: r["rows"]
+               for r in written.groupBy("route_country").agg(
+                   F.count("*").alias("rows")).collect()}
+    assert recount == {k: v["rows"] for k, v in manifest.items()}
+    assert sum(recount.values()) == N
+    # counts from the written sinks match the duckdb oracle too
+    got = sorted(tuple(r) for r in result.counts.collect())
+    expected = sorted(tuple(r) for r in duckdb_expected_counts(pages_dir))
+    assert got == expected
+
+
+def test_resume_skips_completed_partitions(spark, pages_dir, tmp_path):
+    pages = spark.read.parquet(pages_dir)
+    out = str(tmp_path / "routed")
+    pipe = GeoipPipeline(spark)
+    first = pipe.run(pages, out_dir=out)
+    full = dict(first.manifest)
+    # simulate a crash that completed only the US + JP partitions
+    partial = {k: v for k, v in full.items() if k in ("US", "JP")}
+    write_manifest(out, partial)
+    second = pipe.run(pages, out_dir=out, resume=True)
+    assert set(second.manifest.keys()) == set(full.keys())
+    assert {k: v["rows"] for k, v in second.manifest.items()} == \
+           {k: v["rows"] for k, v in full.items()}
+    # resume preserved the completed partitions' entries untouched
+    assert second.manifest["US"]["completed_at"] == partial["US"]["completed_at"]
+    written = spark.read.parquet(out)
+    assert written.count() == N
