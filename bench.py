@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line with per-query seconds.
+
+Headline queries:
+- ``pipeline``: the flagship parse→enrich→route→aggregate job over a
+  deterministically generated pages table (rows scaled to the sf of
+  $SPARK_GRAFT_SF_DIR), including the partitioned fan-out write;
+- the driver-contract queries over the testdata tables.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_PAGES (override row count).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from fluent_plugin_geoip_spark.plans import testdata_queries as tq  # noqa: E402
+from fluent_plugin_geoip_spark.plans.pipeline import GeoipPipeline  # noqa: E402
+from fluent_plugin_geoip_spark.sources.pages import generate_pages  # noqa: E402
+
+BENCH_QUERIES = [
+    "geoip_enrich_country_counts", "geoip_enrich_values", "geoip_multi_key",
+    "geoip_route_counts", "parse_access_log", "json_props_rollup",
+    "agg_pricing_summary",
+]
+
+
+def make_spark(cpus: int) -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("fluent_plugin_geoip_spark-bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .getOrCreate()
+    )
+
+
+def sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def bench_pipeline(spark: SparkSession, n_pages: int) -> tuple[float, dict]:
+    out_dir = tempfile.mkdtemp(prefix="geoip_bench_")
+    try:
+        pages = generate_pages(spark, n_pages,
+                               partitions=spark.sparkContext.defaultParallelism * 2)
+        pages = pages.cache()
+        n = pages.count()  # materialize input outside the timed window
+        pipe = GeoipPipeline(spark)
+        # warm up Python/Arrow workers + codegen + write path outside the
+        # timed window (measures steady-state throughput, not JVM warm-up)
+        pipe.run(generate_pages(spark, 1000), collect_metrics=False,
+                 out_dir=os.path.join(out_dir, "warmup"))
+        dt = float("inf")
+        for i in range(2):  # best-of-2 to damp co-tenant noise
+            t0 = time.perf_counter()
+            res = pipe.run(pages, out_dir=os.path.join(out_dir, f"routed{i}"))
+            dt = min(dt, time.perf_counter() - t0)
+        pages.unpersist()
+        return dt, {"rows": n, "rows_per_sec": n / dt,
+                    "metrics": res.metrics, "sinks": len(res.manifest)}
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_of(sf_dir)
+    n_pages = int(os.environ.get("SPARK_GRAFT_PAGES", str(int(5_000_000 * sf))))
+
+    spark = make_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries: dict[str, float] = {}
+    extra: dict[str, object] = {}
+
+    dt, info = bench_pipeline(spark, n_pages)
+    queries["pipeline"] = round(dt, 3)
+    extra["pipeline"] = info
+
+    for name in BENCH_QUERIES:
+        fn = tq.QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        queries[name] = round(time.perf_counter() - t0, 3)
+        extra[name] = {"rows": n}
+
+    total = round(sum(queries.values()), 3)
+    print(json.dumps({
+        "metric": "e2e_enrich_pipeline_and_queries_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cpus": cpus,
+        "pages_rows": n_pages,
+        "pipeline_rows_per_sec": round(extra["pipeline"]["rows_per_sec"], 1),
+        "detail": {k: v for k, v in extra.items() if k == "pipeline"},
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -16,8 +16,29 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+from pyspark.sql import Column, functions as F
 
 _OCTET_RE = r"^\s*(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})\s*$"
+
+
+def ipv4_str_to_long(col: Column) -> Column:
+    """Native (JVM/codegen) IPv4-string → uint32-as-long; null when invalid.
+
+    Scale note: this keeps the hot parse on the JVM side so the Python stage
+    of the lookup kernel receives an 8-byte long per row instead of a string
+    — less Arrow traffic and no per-batch pandas regex. Semantics match
+    ``ipv4_to_uint32`` (surrounding whitespace tolerated, octets ≤ 255,
+    anything else → null → miss).
+    """
+    t = F.trim(col)
+    p = F.split(t, r"\.")
+    o = [F.element_at(p, i + 1).cast("long") for i in range(4)]
+    valid = t.rlike(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$")
+    for oc in o:
+        valid = valid & (oc <= 255)
+    return F.when(
+        valid,
+        F.shiftleft(o[0], 24) + F.shiftleft(o[1], 16) + F.shiftleft(o[2], 8) + o[3])
 
 
 def ipv4_to_uint32(ips: pd.Series) -> tuple[np.ndarray, np.ndarray]:

@@ -1,0 +1,249 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+- exact dedup: hash-groupBy (one shuffle on the content hash)
+- MinHash + LSH near-dup: char-shingles → k minhashes → banded buckets →
+  candidate pairs → exact n-gram Jaccard verification
+- SimHash near-dup: token-hash bit votes → 64-bit signature → banded
+  buckets → Hamming verification
+- n-gram Jaccard: the verification primitive, exposed standalone
+
+Scale design: signatures are computed with native higher-order array
+functions (transform/aggregate/zip_with — JVM codegen, no Python), so the
+signature stage is a narrow map. The only shuffles are (a) the band-bucket
+groupBy, whose keys are uniformly-distributed hashes (no skew), and (b) the
+small candidate-pair self-joins. Hot buckets are capped (``max_bucket``) so a
+degenerate shingle (e.g. boilerplate) cannot create a quadratic pair
+explosion — the cap is logged, not silent.
+"""
+
+from __future__ import annotations
+
+import logging
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+log = logging.getLogger(__name__)
+
+_P = 2_147_483_647  # 2^31-1, prime: a*h+b stays < 2^62 (no int64 overflow)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep one (min id) row per distinct content hash."""
+    h = F.md5(F.col(text_col).cast("binary")).alias("__h")
+    w = Window.partitionBy("__h").orderBy(F.col(id_col))
+    return (df.withColumn("__h", h)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__h", "__rn"))
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(text_hash, n_docs, keep_id) for every duplicated content hash."""
+    return (df.groupBy(F.md5(F.col(text_col).cast("binary")).alias("text_hash"))
+            .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id"))
+            .filter(F.col("n_docs") > 1))
+
+
+# ---------------------------------------------------------------------------
+# shingles + Jaccard
+# ---------------------------------------------------------------------------
+
+def shingle_hashes(text: Column, n: int = 5) -> Column:
+    """Distinct hashes of character n-grams (xxhash64 mod P, non-negative)."""
+    t = F.lower(F.regexp_replace(text, r"\s+", " "))
+    idx = F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: t.substr(i, F.lit(n)))
+    return F.array_distinct(
+        F.transform(grams, lambda g: F.pmod(F.xxhash64(g), F.lit(_P))))
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 5,
+                        threshold: float = 0.8,
+                        candidates: DataFrame | None = None) -> DataFrame:
+    """Exact n-gram Jaccard over candidate id pairs (default: all pairs from
+    a self-join — only for small inputs; at scale pass LSH candidates)."""
+    sh = df.select(F.col(id_col).alias("id"),
+                   shingle_hashes(F.col(text_col), n).alias("sh"))
+    if candidates is None:
+        a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+        b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        pairs = (candidates
+                 .join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+                 .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b"))
+    return (pairs
+            .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def _perm_params(k: int, seed: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for k universal-hash permutations."""
+    params = []
+    state = seed * 2_654_435_761 % _P
+    for _ in range(k):
+        state = (state * 48_271 + 1) % _P
+        a = state or 1
+        state = (state * 48_271 + 1) % _P
+        b = state
+        params.append((a, b))
+    return params
+
+
+def minhash_signature(text: Column, n: int = 5, num_hashes: int = 64,
+                      seed: int = 42) -> Column:
+    """Array of k minhashes over char-n-gram shingles (all JVM HOFs)."""
+    sh = shingle_hashes(text, n)
+
+    def perm_min(a: int, b: int) -> Column:
+        return F.array_min(
+            F.transform(sh, lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_P)))
+
+    return F.array(*[perm_min(a, b) for a, b in _perm_params(num_hashes, seed)])
+
+
+def _band_entries(sig: Column, bands: int, rows: int) -> Column:
+    """array<struct<band:int, key:long>> — one hashed key per band."""
+    return F.array(*[
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.xxhash64(F.concat_ws(
+                ",", *[F.element_at(sig, bi * rows + ri + 1).cast("string")
+                       for ri in range(rows)])).alias("key"))
+        for bi in range(bands)
+    ])
+
+
+def lsh_candidate_pairs(df: DataFrame, sig_col: str, id_col: str = "id",
+                        bands: int = 16, rows: int = 4,
+                        max_bucket: int = 200) -> DataFrame:
+    """Banded-LSH candidate pairs: ids sharing any band bucket.
+
+    Buckets larger than ``max_bucket`` are dropped (and counted via log) —
+    at web scale a boilerplate-driven mega-bucket would otherwise emit
+    O(n²) pairs.
+    """
+    exploded = (df.select(F.col(id_col).alias("id"),
+                          F.explode(_band_entries(F.col(sig_col), bands, rows))
+                          .alias("b"))
+                .select("id", F.col("b.band").alias("band"),
+                        F.col("b.key").alias("key")))
+    grouped = (exploded.groupBy("band", "key")
+               .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+               .withColumn("bucket_size", F.size("ids"))
+               .filter(F.col("bucket_size") > 1))
+    n_dropped = grouped.filter(F.col("bucket_size") > max_bucket).count()
+    if n_dropped:
+        log.warning("lsh_candidate_pairs: dropping %d over-full buckets "
+                    "(> %d ids)", n_dropped, max_bucket)
+    pairs = (grouped.filter(F.col("bucket_size") <= max_bucket)
+             .select(F.explode(F.expr(
+                 "flatten(transform(ids, (x, i) -> "
+                 "transform(slice(ids, i + 2, size(ids)), y -> struct(x as id_a, y as id_b))))"))
+                 .alias("p"))
+             .select("p.id_a", "p.id_b")
+             .distinct())
+    return pairs
+
+
+def minhash_lsh_dedup(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 5,
+                      num_hashes: int = 64, bands: int = 16, rows: int = 4,
+                      threshold: float = 0.8,
+                      max_bucket: int = 200) -> DataFrame:
+    """Near-duplicate pairs: MinHash-LSH candidates verified by exact
+    n-gram Jaccard. Returns (id_a, id_b, jaccard)."""
+    assert bands * rows == num_hashes
+    sigs = df.select(F.col(id_col).alias("id"),
+                     minhash_signature(F.col(text_col), n, num_hashes).alias("sig"))
+    cands = lsh_candidate_pairs(sigs, "sig", bands=bands, rows=rows,
+                                max_bucket=max_bucket)
+    return ngram_jaccard_pairs(df, id_col, text_col, n, threshold,
+                               candidates=cands)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(text: Column, bits: int = 64) -> Column:
+    """SimHash over whitespace tokens: per-bit ±1 votes of token hashes,
+    folded to a signed 64-bit long. Pure JVM higher-order functions — tokens
+    are hashed once (xxhash64), then each bit position runs one
+    ``aggregate`` vote over the hashed array (shift counts must be literals
+    in Spark's shiftright, hence per-bit expressions rather than an inner
+    transform over a bit-index sequence)."""
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    toks_h = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def vote(i: int) -> Column:
+        return F.aggregate(
+            toks_h, F.lit(0).cast("long"),
+            lambda acc, h: acc + (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1))
+
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        if i == 63:
+            sig = sig.bitwiseOR(
+                F.when(vote(i) > 0, F.lit(-(1 << 63)).cast("long"))
+                 .otherwise(F.lit(0).cast("long")))
+        else:
+            sig = sig.bitwiseOR(
+                F.when(vote(i) > 0, F.lit(1 << i).cast("long"))
+                 .otherwise(F.lit(0).cast("long")))
+    return sig
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_dedup(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", max_hamming: int = 3,
+                  band_bits: int = 16, max_bucket: int = 200) -> DataFrame:
+    """Near-dup pairs by SimHash: bucket on each 16-bit band (any pair within
+    Hamming ≤ 3 of a 64-bit signature shares at least one of 4 bands), then
+    verify the Hamming distance. Returns (id_a, id_b, hamming)."""
+    nbands = 64 // band_bits
+    sigs = df.select(F.col(id_col).alias("id"),
+                     simhash(F.col(text_col)).alias("sig"))
+    entries = F.array(*[
+        F.struct(F.lit(bi).alias("band"),
+                 F.shiftrightunsigned(F.col("sig"), bi * band_bits)
+                  .bitwiseAND(F.lit((1 << band_bits) - 1)).alias("key"))
+        for bi in range(nbands)
+    ])
+    sigs = sigs.withColumn("bands", entries)
+    exploded = (sigs.select("id", F.explode("bands").alias("b"))
+                .select("id", "b.band", "b.key"))
+    grouped = (exploded.groupBy("band", "key")
+               .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+               .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket)))
+    pairs = (grouped.select(F.explode(F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), y -> struct(x as id_a, y as id_b))))"))
+        .alias("p")).select("p.id_a", "p.id_b").distinct())
+    a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    return (pairs.join(a, "id_a").join(b, "id_b")
+            .withColumn("hamming", hamming64(F.col("sig_a"), F.col("sig_b")))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))

@@ -51,7 +51,8 @@ class GeoipEnricher:
     def _udf_for(self, attrs: list[str]):
         key = tuple(attrs)
         if key not in self._udf_cache:
-            self._udf_cache[key] = make_lookup_udf(self.spark, self.db, attrs)
+            self._udf_cache[key] = make_lookup_udf(self.spark, self.db, attrs,
+                                                   input_type="long")
         return self._udf_cache[key]
 
     def transform(self, df: DataFrame) -> DataFrame:
@@ -60,13 +61,16 @@ class GeoipEnricher:
         if not comp.templates:
             return df
 
-        # 1) geolocate: one geo-struct column per (used) lookup key
+        # 1) geolocate: one geo-struct column per (used) lookup key.
+        # IPv4→uint32 parse runs JVM-side (codegen); the Arrow crossing only
+        # carries one long per row in and the needed attrs out.
         geo_cols: dict[str, str] = {}
         from ..config import accessor_column
+        from ..functions.ipv4 import ipv4_str_to_long
         for i, (key, attrs) in enumerate(self._attrs_by_key.items()):
             col_name = f"__geo_{i}"
             udf = self._udf_for(attrs)
-            ip_col = accessor_column(comp.accessors[key]).cast("string")
+            ip_col = ipv4_str_to_long(accessor_column(comp.accessors[key]).cast("string"))
             df = df.withColumn(col_name, udf(ip_col))
             geo_cols[key] = col_name
 

@@ -120,8 +120,18 @@ class GeoDatabase:
         return attr_dtype(self.profile, attr_path, self.dtypes)
 
     def lookup_batch(self, ips: pd.Series, attr_paths: list[str]) -> pd.DataFrame:
-        """Probe a batch: returns DataFrame with ``__hit__`` + one column per attr."""
+        """Probe a batch of IPv4 strings: ``__hit__`` + one column per attr."""
         values, valid = ipv4_to_uint32(ips)
+        return self.lookup_batch_ints(values, valid, attr_paths)
+
+    def lookup_batch_longs(self, ips: pd.Series, attr_paths: list[str]) -> pd.DataFrame:
+        """Probe a batch of pre-parsed uint32-as-long IPs (null → miss)."""
+        valid = ips.notna().to_numpy()
+        values = ips.fillna(0).to_numpy(dtype=np.int64)
+        return self.lookup_batch_ints(values, valid, attr_paths)
+
+    def lookup_batch_ints(self, values: np.ndarray, valid: np.ndarray,
+                          attr_paths: list[str]) -> pd.DataFrame:
         n = len(values)
         if len(self.starts) == 0:
             hit = np.zeros(n, dtype=bool)
@@ -168,20 +178,30 @@ def lookup_struct_type(db: GeoDatabase, attr_paths: list[str]) -> T.StructType:
     return T.StructType(fields)
 
 
-def make_lookup_udf(spark, db: GeoDatabase, attr_paths: list[str]):
+def make_lookup_udf(spark, db: GeoDatabase, attr_paths: list[str],
+                    input_type: str = "string"):
     """Create the broadcast-searchsorted pandas UDF for a set of attr paths.
 
     One UDF instance is shared across all lookup columns needing the same
     attrs (common-subexpression reuse of the reference's ``uniq`` placeholder
     dedup, filter_geoip.rb:86). The database rides a Spark broadcast variable
     — deserialized once per executor, shared by its Arrow workers.
+
+    ``input_type='long'`` expects IPs pre-parsed JVM-side by
+    ``functions.ipv4.ipv4_str_to_long`` (the fast path: 8 bytes/row across
+    Arrow and zero pandas string work inside the UDF).
     """
     attr_paths = list(attr_paths)
     bc = spark.sparkContext.broadcast(db)
     schema = lookup_struct_type(db, attr_paths)
 
-    @F.pandas_udf(schema)
-    def geo_lookup(ips: pd.Series) -> pd.DataFrame:
-        return bc.value.lookup_batch(ips, attr_paths)
+    if input_type == "long":
+        @F.pandas_udf(schema)
+        def geo_lookup(ips: pd.Series) -> pd.DataFrame:
+            return bc.value.lookup_batch_longs(ips, attr_paths)
+    else:
+        @F.pandas_udf(schema)
+        def geo_lookup(ips: pd.Series) -> pd.DataFrame:
+            return bc.value.lookup_batch(ips, attr_paths)
 
     return geo_lookup

@@ -53,16 +53,23 @@ def access_log_fields(text: Column) -> Column:
     )
 
 
-def parse_pages(df: DataFrame, validate_text: bool = False) -> DataFrame:
-    """pages(url, warc_ts, html, text, lang) → + host, access struct, client_ip.
+def parse_pages(df: DataFrame, validate_text: bool = False,
+                include_access: bool = False) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) → + host, client_ip[, access].
+
+    ``client_ip`` uses a dedicated single-group regex (the hot path feeds only
+    the enrich kernel); the full 9-group access-log struct is opt-in via
+    ``include_access`` — Catalyst prunes it anyway when unused, but keeping it
+    out of the default plan keeps EXPLAIN output honest about the hot path.
 
     When ``validate_text`` is set, re-extracts text from html and adds a
     ``text_ok`` boolean for the byte-identical invariant (cheap enough to keep
     on in audits; off in the hot path since ``text`` is authoritative).
     """
     out = df.withColumn("host", url_host(F.col("url"))) \
-            .withColumn("access", access_log_fields(F.col("text"))) \
-            .withColumn("client_ip", F.col("access.client_ip"))
+            .withColumn("client_ip", F.regexp_extract(F.col("text"), r"^(\S+) ", 1))
+    if include_access:
+        out = out.withColumn("access", access_log_fields(F.col("text")))
     if validate_text:
         out = out.withColumn("text_ok", extract_text(F.col("html")) == F.col("text"))
     return out

@@ -49,10 +49,14 @@ def route_and_write(
     num_partitions: int | None = None,
     resume: bool = False,
     fmt: str = "parquet",
-) -> dict:
+    stat_cols: tuple[str, ...] = (),
+) -> tuple[dict, list]:
     """Fan the DataFrame out to ``out_dir/<route_col>=<value>/`` sinks.
 
-    Returns the lineage manifest: {partition_value: {"rows": n, "checksum": c}}.
+    Returns ``(manifest, stats_rows)`` where the manifest maps partition
+    value → {"rows", "checksum", "completed_at"} and ``stats_rows`` is the
+    collected per-(route_col, *stat_cols) lineage aggregate — callers reuse
+    it for rollups instead of issuing a second scan.
     """
     spark = df.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -65,20 +69,19 @@ def route_and_write(
     n = num_partitions or spark.sparkContext.defaultParallelism
     routed = df.repartition(n, F.col(route_col), salt)
 
-    # lineage accounting in the same pass as the write would need a custom
-    # commit protocol; we compute it as a cheap follow-up aggregate on the
-    # written files (reads only the route column → column-pruned scan).
     (routed.write.mode("overwrite").partitionBy(route_col).format(fmt)
         .save(out_dir))
 
+    # lineage accounting: ONE column-pruned aggregate over the written files
+    # (attests what is actually on disk, unlike pre-write counters).
     try:
         written = spark.read.format(fmt).load(out_dir)
     except Exception:
         # nothing was ever written (empty input / all partitions resumed)
         write_manifest(out_dir, done)
-        return dict(done)
+        return dict(done), []
     stats = (
-        written.groupBy(route_col)
+        written.groupBy(route_col, *stat_cols)
         .agg(F.count("*").alias("rows"),
              F.sum(F.crc32(F.col("url").cast("binary")) % F.lit(1 << 31))
               .alias("checksum"))
@@ -88,10 +91,12 @@ def route_and_write(
         key = r[route_col]
         if key in done:
             continue
-        manifest[key] = {"rows": r["rows"], "checksum": int(r["checksum"] or 0),
-                         "completed_at": int(time.time())}
+        ent = manifest.setdefault(
+            key, {"rows": 0, "checksum": 0, "completed_at": int(time.time())})
+        ent["rows"] += r["rows"]
+        ent["checksum"] += int(r["checksum"] or 0)
     write_manifest(out_dir, manifest)
-    return manifest
+    return manifest, stats
 
 
 def manifest_path(out_dir: str) -> str:

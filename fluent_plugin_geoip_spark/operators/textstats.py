@@ -1,0 +1,176 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language-ID (stopword/n-gram heuristic), quality scoring, token counting,
+document fingerprinting (rolling hash).
+
+Everything here is native Catalyst expressions (split / regexp / higher-order
+array functions) — JVM-side, codegen'd, shuffle-free per row, so each
+operator is a narrow map that scales linearly with executors. No reference
+counterpart (the reference enriches log events, SURVEY.md §2.6 note); these
+are the training-data extensions the engine is expected to carry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# ---------------------------------------------------------------------------
+# tokenization + counting
+# ---------------------------------------------------------------------------
+
+_WS = r"\s+"
+# BPE-ish pieces: word bodies, numbers, or single punctuation marks
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens (empty text → empty array, not [''])."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")) \
+            .otherwise(F.split(t, _WS))
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token count via a regex segmentation (word bodies,
+    number runs, single punctuation) — the cheap stand-in for a real BPE."""
+    return F.size(F.regexp_extract_all(text, F.lit(_BPE_RE), 0))
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"]
+
+
+def quality_features(text: Column) -> Column:
+    """Struct of quality signals: char/token counts, alpha & punct ratios,
+    stopword ratio, mean token length."""
+    toks = tokens(text)
+    n_tok = F.size(toks)
+    n_chars = F.length(text)
+    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    digits = F.length(F.regexp_replace(text, r"[^0-9]", ""))
+    punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    stop = F.size(F.filter(toks, lambda t: t.isin(_STOPWORDS)))
+    safe_tok = F.greatest(n_tok, F.lit(1))
+    safe_chars = F.greatest(n_chars, F.lit(1))
+    return F.struct(
+        n_chars.alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        (alpha / safe_chars).alias("alpha_ratio"),
+        (digits / safe_chars).alias("digit_ratio"),
+        (punct / safe_chars).alias("punct_ratio"),
+        (stop / safe_tok).alias("stopword_ratio"),
+        (n_chars / safe_tok).alias("mean_token_len"),
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """[0,1] quality heuristic: high alpha ratio, sane token lengths, some
+    stopwords, little punctuation noise."""
+    f = quality_features(text)
+    score = (
+        0.4 * F.least(f["alpha_ratio"] / 0.7, F.lit(1.0))
+        + 0.2 * F.least(f["stopword_ratio"] / 0.2, F.lit(1.0))
+        + 0.2 * (1.0 - F.least(f["punct_ratio"] / 0.3, F.lit(1.0)))
+        + 0.2 * F.when((f["mean_token_len"] >= 3) & (f["mean_token_len"] <= 12),
+                       F.lit(1.0)).otherwise(F.lit(0.0))
+    )
+    return F.round(score, 6)
+
+
+# ---------------------------------------------------------------------------
+# language ID (n-gram / stopword voting heuristic)
+# ---------------------------------------------------------------------------
+
+# tiny per-language marker lexicons (function words) — deterministic, fast,
+# good enough to bucket web text; swap for fastText etc. outside the sandbox.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "that", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "für"],
+    "fr": ["le", "la", "les", "et", "est", "pour", "que", "dans"],
+    "es": ["el", "los", "las", "es", "para", "con", "por", "una"],
+    "pt": ["o", "os", "das", "é", "para", "com", "uma", "não"],
+    "nl": ["de", "het", "een", "en", "van", "niet", "met", "voor"],
+    "it": ["il", "la", "di", "che", "è", "per", "con", "non"],
+}
+
+
+def lang_scores(text: Column) -> Column:
+    """Struct of per-language marker-hit counts over whitespace tokens."""
+    toks = F.transform(tokens(text), lambda t: F.lower(t))
+    fields = []
+    for lang, markers in LANG_MARKERS.items():
+        fields.append(
+            F.size(F.filter(toks, lambda t: t.isin(markers))).alias(lang))
+    return F.struct(*fields)
+
+
+def lang_id(text: Column, default: str = "und") -> Column:
+    """argmax language with deterministic tie-break (marker count, then
+    language code order); no hits → ``default``."""
+    s = lang_scores(text)
+    langs = list(LANG_MARKERS)
+    # build array<struct<score,lang>> and take array_max (score, then lang
+    # desc? — tie-break: FIRST lang in declaration order wins → invert index)
+    entries = F.array(*[
+        F.struct(s[lang].alias("score"),
+                 F.lit(len(langs) - i).alias("prio"),
+                 F.lit(lang).alias("lang"))
+        for i, lang in enumerate(langs)
+    ])
+    best = F.array_max(entries)
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit(default))
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting (polynomial rolling hash)
+# ---------------------------------------------------------------------------
+
+_FP_MOD = 1_000_000_007
+_FP_BASE = 31
+
+
+def fingerprint(text: Column) -> Column:
+    """Order-sensitive polynomial rolling hash over whitespace tokens:
+    fp = Σ tok_hash · B^i mod P, computed as a left fold — a content
+    fingerprint that is stable across partitioning and engines.
+
+    Uses Spark's xxhash64 per token then folds with ``F.aggregate`` (JVM
+    higher-order function, no UDF)."""
+    toks = tokens(text)
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * _FP_BASE + F.pmod(F.xxhash64(t), F.lit(_FP_MOD)))
+        % _FP_MOD,
+    )
+
+
+def char_fingerprint(text: Column) -> Column:
+    """Engine-portable variant folding over character codes (ascii()), used
+    by the DuckDB oracle: fp = fold(acc*31 + ascii(char)) mod P."""
+    chars = F.split(text, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * _FP_BASE + F.ascii(c)) % _FP_MOD,
+    )
+
+
+# ---------------------------------------------------------------------------
+# DataFrame-level convenience
+# ---------------------------------------------------------------------------
+
+def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return (df
+            .withColumn("n_tokens", token_count(t))
+            .withColumn("n_bpe_tokens", bpe_ish_token_count(t))
+            .withColumn("quality", quality_score(t))
+            .withColumn("lang_pred", lang_id(t))
+            .withColumn("fingerprint", fingerprint(t)))

@@ -74,20 +74,18 @@ class GeoipPipeline:
         manifest = {}
         if out_dir is not None:
             keep = [c for c in enriched.columns if c != "access"]
-            manifest = route_and_write(enriched.select(*keep), out_dir,
-                                       salt_buckets=salt_buckets, resume=resume)
-            try:
-                counts = country_lang_counts(
-                    self.spark.read.parquet(out_dir).withColumn(
-                        "country", F.when(F.col("route_country") == "__unrouted__",
-                                          F.lit(None)).otherwise(F.col("route_country"))))
-            except Exception:  # nothing on disk (empty input)
-                counts = country_lang_counts(enriched)
+            manifest, stats = route_and_write(
+                enriched.select(*keep), out_dir,
+                salt_buckets=salt_buckets, resume=resume, stat_cols=("lang",))
+            # counts derive from the SAME lineage aggregate (no extra scan)
+            rows = [("__miss__" if r["route_country"] == "__unrouted__"
+                     else r["route_country"], r["lang"], r["rows"]) for r in stats]
+            counts = self.spark.createDataFrame(
+                rows, "country string, lang string, n long")
         else:
             counts = country_lang_counts(enriched)
-        # force the aggregate (and metrics) if we haven't already written
-        counts = counts.cache()
-        counts.count()
+            counts = counts.cache()
+            counts.count()  # force the aggregate (and metrics)
         metrics = dict(obs.get) if obs is not None else {}
         return PipelineResult(enriched=enriched, counts=counts,
                               metrics=metrics, manifest=manifest)

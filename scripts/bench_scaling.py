@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Scaling-efficiency evidence (north_rule: ≥0.8 throughput efficiency N → 4N).
+
+No real cluster exists in the sandbox, so per the task protocol the SAME job
+runs on the SAME input at two parallelism levels and we report throughput at
+both plus efficiency = (rows/s at 4N) / (rows/s at N) / 4.
+
+Measurement protocol (each detail matters; derived empirically):
+- **CPU pinning**: each level runs in a fresh subprocess under
+  ``taskset -c 0-(N-1)``. Without pinning, a local[8] JVM happily uses extra
+  cores for its Python UDF workers and GC threads, silently inflating the
+  baseline and deflating measured scaling.
+- **Fresh subprocess per level**: re-using one driver process for sequential
+  SparkSessions leaves JVM/GC state behind and produced wildly skewed
+  timings.
+- **tmpfs sinks** (/dev/shm): the routed fan-out write is parquet-encode
+  CPU-bound on tmpfs, which is the honest stand-in for a cluster where
+  aggregate sink bandwidth (HDFS/S3/executor-local disks) scales with
+  executor count; a single local disk is a hardware serialization point no
+  partitioning strategy can beat.
+- **input generated in-process** (deterministic, narrow, parallel) so no
+  read-side disk bottleneck enters the timing; warm-up run excluded.
+
+Usage: python scripts/bench_scaling.py [n_rows] [N_cores] [mult]
+(defaults 20_000_000, 8, 4 → local[8] vs local[32]).
+Prints one JSON line; markdown rows for BASELINE.md follow.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_CHILD = r"""
+import sys, time, json, tempfile, shutil
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+from fluent_plugin_geoip_spark.plans.pipeline import GeoipPipeline
+from fluent_plugin_geoip_spark.sources.pages import generate_pages
+
+cpus, n, mode, workdir = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
+spark = (SparkSession.builder.master(f"local[{{cpus}}]")
+         .config("spark.sql.shuffle.partitions", str(cpus))
+         .config("spark.ui.enabled", "false")
+         .config("spark.local.dir", workdir + "/local")
+         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+         .config("spark.driver.memory", "24g").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+pipe = GeoipPipeline(spark)
+pages = generate_pages(spark, n, partitions=cpus * 4)
+best = 1e18
+if mode == "full":
+    pipe.run(generate_pages(spark, 1000), collect_metrics=False,
+             out_dir=workdir + "/warmup")
+    for i in range(2):
+        t0 = time.perf_counter()
+        pipe.run(pages, out_dir=f"{{workdir}}/r{{i}}", collect_metrics=False)
+        best = min(best, time.perf_counter() - t0)
+        shutil.rmtree(f"{{workdir}}/r{{i}}", ignore_errors=True)
+else:
+    enr = pipe.enrich(pages).select("url", "lang", "country", "route_country")
+    enr.write.format("noop").mode("overwrite").save()
+    for i in range(2):
+        t0 = time.perf_counter()
+        enr.write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+print(json.dumps({{"sec": best, "rows_per_sec": n / best}}))
+"""
+
+
+def run_level(cpus: int, n: int, mode: str) -> dict:
+    workdir = tempfile.mkdtemp(dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
+                               prefix=f"geoip_scale_{cpus}_")
+    try:
+        cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c",
+               _CHILD.format(repo=REPO), str(cpus), str(n), mode, workdir]
+        out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
+        line = out.stdout.strip().splitlines()[-1]
+        return json.loads(line)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000_000
+    base = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    mult = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    big = base * mult
+    result: dict = {"rows": n, "cores": [base, big]}
+    for mode in ("full", "compute"):
+        lo = run_level(base, n, mode)
+        hi = run_level(big, n, mode)
+        eff = (hi["rows_per_sec"] / lo["rows_per_sec"]) / mult
+        result[mode] = {
+            f"rows_per_sec_local{base}": round(lo["rows_per_sec"], 1),
+            f"rows_per_sec_local{big}": round(hi["rows_per_sec"], 1),
+            "speedup": round(hi["rows_per_sec"] / lo["rows_per_sec"], 3),
+            "scaling_efficiency": round(eff, 3),
+        }
+    print(json.dumps(result))
+    for mode in ("full", "compute"):
+        r = result[mode]
+        print(f"| {mode} | {n:,} | {r[f'rows_per_sec_local{base}']:,.0f} | "
+              f"{r[f'rows_per_sec_local{big}']:,.0f} | {r['speedup']:.2f}x | "
+              f"{r['scaling_efficiency']:.2f} |")
+
+
+if __name__ == "__main__":
+    main()

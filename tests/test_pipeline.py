@@ -75,7 +75,7 @@ def test_text_invariant(spark, pages_dir):
 
 def test_parse_fields(spark, pages_dir):
     pages = spark.read.parquet(pages_dir)
-    parsed = parse_pages(pages)
+    parsed = parse_pages(pages, include_access=True)
     row = (parsed.filter(F.col("client_ip").rlike(r"^\d+\.")).select("access")
            .first()["access"])
     assert row["method"] == "GET"

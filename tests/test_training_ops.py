@@ -1,0 +1,254 @@
+"""Tests for the training-data operator library (dedup, similarity, text
+analysis, multimodal plumbing) over the driver testdata + synthetic cases."""
+
+import numpy as np
+import pytest
+from pyspark.sql import Row, functions as F
+
+from fluent_plugin_geoip_spark.operators import dedup, multimodal, similarity, textstats
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello world"), (3, "unique"), (4, "hello world")],
+        "doc_id long, text string")
+    kept = dedup.exact_dedup(df)
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 3]
+    groups = dedup.exact_dup_groups(df).collect()
+    assert len(groups) == 1 and groups[0].n_docs == 3 and groups[0].keep_id == 1
+
+
+# ---------------------------------------------------------------------------
+# minhash / jaccard
+# ---------------------------------------------------------------------------
+
+def make_near_dup_docs(spark):
+    base = ("the quick brown fox jumps over the lazy dog while the cat "
+            "watches from the warm windowsill in the afternoon sun light")
+    rows = [
+        (0, base),
+        (1, base.replace("afternoon", "morning")),        # near-dup of 0
+        (2, base),                                        # exact dup of 0
+        (3, "completely different text about spark sql engines and "
+            "columnar execution with whole stage code generation"),
+        (4, "yet another unrelated document mentioning minhash lsh "
+            "banding and jaccard similarity estimation techniques"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_jaccard_pairs_bruteforce(spark):
+    df = make_near_dup_docs(spark)
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in dedup.ngram_jaccard_pairs(df, threshold=0.7).collect()}
+    assert (0, 2) in pairs and pairs[(0, 2)] == 1.0
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 0.7
+    assert (1, 2) in pairs
+    assert not any(3 in p or 4 in p for p in pairs)
+
+
+def test_minhash_lsh_dedup(spark):
+    df = make_near_dup_docs(spark)
+    pairs = {(r.id_a, r.id_b) for r in dedup.minhash_lsh_dedup(
+        df, threshold=0.7).collect()}
+    assert {(0, 1), (0, 2), (1, 2)} == pairs
+
+
+def test_minhash_signature_deterministic(spark):
+    df = make_near_dup_docs(spark)
+    s1 = df.select(dedup.minhash_signature(F.col("text")).alias("s")).collect()
+    s2 = df.select(dedup.minhash_signature(F.col("text")).alias("s")).collect()
+    assert [r.s for r in s1] == [r.s for r in s2]
+
+
+def test_lsh_recall_vs_bruteforce(spark, docs):
+    """Every brute-force pair ≥0.8 is found by LSH (200-doc slice keeps the
+    O(n²) brute-force oracle cheap)."""
+    sample = docs.filter(F.col("doc_id") < 200)
+    brute = {(r.id_a, r.id_b) for r in
+             dedup.ngram_jaccard_pairs(sample, threshold=0.8).collect()}
+    lsh = {(r.id_a, r.id_b) for r in
+           dedup.minhash_lsh_dedup(sample, threshold=0.8).collect()}
+    assert lsh <= brute  # verification guarantees precision
+    if brute:
+        recall = len(lsh & brute) / len(brute)
+        assert recall >= 0.9, (len(brute), len(lsh), recall)
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+def test_simhash_near_dup(spark):
+    df = make_near_dup_docs(spark)
+    sigs = {r.doc_id: r.s for r in df.select(
+        "doc_id", dedup.simhash(F.col("text")).alias("s")).collect()}
+    assert sigs[0] == sigs[2]
+    h01 = bin(sigs[0] ^ sigs[1]).count("1")
+    h03 = bin(sigs[0] ^ sigs[3]).count("1")
+    assert h01 < h03
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in dedup.simhash_dedup(df, max_hamming=4).collect()}
+    assert (0, 2) in pairs and pairs[(0, 2)] == 0
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+def brute_force_numpy(embs_rows, qids, k):
+    ids = np.array([r.vec_id for r in embs_rows])
+    mat = np.array([r.embedding for r in embs_rows], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    out = {}
+    for q in qids:
+        qv = mat[list(ids).index(q)]
+        sims = mat @ qv
+        order = sorted(zip(-sims, ids), key=lambda t: (t[0], t[1]))
+        out[q] = [int(i) for s, i in order if i != q][:k]
+    return out
+
+
+def test_cosine_topk_matches_numpy(spark, embs):
+    qids = [0, 1, 2, 3, 4]
+    queries = embs.filter(F.col("vec_id").isin(qids))
+    got = similarity.cosine_topk(embs, queries, k=5)
+    got_map = {}
+    for r in got.collect():
+        got_map.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+    got_map = {q: [n for _, n in sorted(v)] for q, v in got_map.items()}
+    expected = brute_force_numpy(embs.collect(), qids, 5)
+    assert got_map == expected
+
+
+def test_lsh_topk_overlap_on_clustered_data(spark):
+    """Random-hyperplane LSH needs angular structure; isotropic random
+    vectors defeat any sublinear ANN. Use clustered synthetic data (the
+    realistic embedding-space shape) and require good top-k overlap."""
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((10, 32)) * 3
+    rows = []
+    for i in range(400):
+        c = i % 10
+        rows.append((i, (centers[c] + rng.standard_normal(32) * 0.3).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk(df, queries, k=10)
+    approx = similarity.lsh_topk(df, queries, k=10, nbits=8, n_tables=6)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    assert len(a & e) / len(e) >= 0.8, (len(a & e), len(e))
+
+
+def test_embedding_near_dupes_finds_planted(spark, embs):
+    rows = embs.limit(3).collect()
+    planted = [Row(vec_id=10_000 + r.vec_id,
+                   embedding=[v * 1.0001 for v in r.embedding],
+                   label=r.label) for r in rows]
+    df = embs.unionByName(spark.createDataFrame(planted, embs.schema))
+    dupes = similarity.embedding_near_dupes(df, threshold=0.999, n_tables=8)
+    got = {(r.id_a, r.id_b) for r in dupes.collect()}
+    for r in rows:
+        assert (r.vec_id, 10_000 + r.vec_id) in got
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def test_token_count(spark):
+    df = spark.createDataFrame(
+        [("a b  c",), ("",), ("   ",), ("single",)], "text string")
+    out = [r.n for r in df.select(textstats.token_count(F.col("text")).alias("n")).collect()]
+    assert out == [3, 0, 0, 1]
+
+
+def test_bpe_ish_count(spark):
+    df = spark.createDataFrame([("hello, world! 42",)], "text string")
+    out = df.select(textstats.bpe_ish_token_count(F.col("text")).alias("n")).first().n
+    assert out == 5  # hello , world ! 42
+
+
+def test_quality_score_ordering(spark):
+    df = spark.createDataFrame(
+        [(1, "The quick brown fox jumps over the lazy dog and runs away."),
+         (2, "@@@ ### !!! $$$ %%% ^^^ &&& *** ((( )))")],
+        "doc_id long, text string")
+    scores = {r.doc_id: r.q for r in df.select(
+        "doc_id", textstats.quality_score(F.col("text")).alias("q")).collect()}
+    assert scores[1] > 0.6 > scores[2]
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog went to the park for a walk"),
+         (2, "der hund und die katze sind nicht mit der maus"),
+         (3, "le chat est dans la maison et les oiseaux dans le jardin"),
+         (4, "xyzzy plugh qwerty")],
+        "doc_id long, text string")
+    out = {r.doc_id: r.lang for r in df.select(
+        "doc_id", textstats.lang_id(F.col("text")).alias("lang")).collect()}
+    assert out == {1: "en", 2: "de", 3: "fr", 4: "und"}
+
+
+def test_fingerprint_properties(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "c b a")], "doc_id long, text string")
+    fps = {r.doc_id: r.fp for r in df.select(
+        "doc_id", textstats.fingerprint(F.col("text")).alias("fp")).collect()}
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]  # order-sensitive
+
+
+def test_analyze_documents(spark, docs):
+    out = textstats.analyze_documents(docs)
+    row = out.first()
+    assert row.n_tokens > 0 and 0.0 <= row.quality <= 1.0
+    assert out.count() == docs.count()
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+def test_media_features(spark):
+    media = multimodal.generate_media(spark, 60)
+    feats = multimodal.extract_image_features(media, fake=True)
+    rows = feats.collect()
+    assert all(len(r.feature) == multimodal.FEATURE_DIM for r in rows)
+    n_images = media.filter(F.col("kind") == "image").count()
+    assert len(rows) == n_images
+    # deterministic
+    again = multimodal.extract_image_features(media, fake=True).collect()
+    assert {r.media_id: r.phash for r in rows} == {r.media_id: r.phash for r in again}
+
+
+def test_media_decode_stub_raises(spark):
+    media = multimodal.generate_media(spark, 10)
+    with pytest.raises(Exception, match="NotImplementedError|PIL"):
+        multimodal.extract_image_features(media, fake=False).collect()
+
+
+def test_video_frame_sampling(spark):
+    media = multimodal.generate_media(spark, 30)
+    frames = multimodal.sample_video_frames(media, every_ms=10_000)
+    vids = media.filter(F.col("kind") == "video").select(
+        "media_id", "duration_ms").collect()
+    expected = sum(int(v.duration_ms // 10_000) + 1 for v in vids)
+    assert frames.count() == expected
