@@ -268,6 +268,160 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+# compat-backend enrich (flat attr whitelist path)
+def q_geoip_compat_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.fixtures import world_compat_db
+    df = _with_ip(_events(spark, sf_dir))
+    cfg = GeoipConfig(lookup_keys=["ip"], backend_library="geoip2_compat",
+                      records={"city": "${city['ip']}",
+                               "country": "${country_code['ip']}",
+                               "latitude": "${latitude['ip']}"})
+    out = GeoipEnricher(spark, cfg, world_compat_db()).transform(df)
+    return out.select("event_id", "city", "country", "latitude")
+
+
+ORACLE_COMPAT_ENRICH = f"""
+SELECT e.event_id, r.city AS city, r.country AS country, r.latitude AS latitude
+FROM (SELECT event_id, {_ip_int_sql('event_id')} AS ip_int FROM events) e
+LEFT JOIN {world_ranges_values_sql()}
+  ON e.ip_int BETWEEN r.range_start AND r.range_end
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data operators over documents / embeddings
+# ---------------------------------------------------------------------------
+
+def q_dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup profile: total vs distinct content hashes (A-dedup)."""
+    d = _documents(spark, sf_dir)
+    return d.agg(
+        F.count("*").alias("n_total"),
+        F.count_distinct(F.md5(F.col("text").cast("binary"))).alias("n_distinct"))
+
+
+ORACLE_DEDUP_PROFILE = """
+SELECT CAST(count(*) AS BIGINT) AS n_total,
+       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct
+FROM documents
+"""
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import token_count
+    d = _documents(spark, sf_dir)
+    return d.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+
+
+ORACLE_TOKEN_COUNTS = r"""
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE CAST(length(regexp_split_to_array(trim(text), '\s+')) AS INT)
+       END AS n_tokens
+FROM documents
+"""
+
+
+def q_text_quality_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer quality signals (exact parity; no fp-rounding hazards)."""
+    d = _documents(spark, sf_dir)
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.length(t).alias("n_chars"),
+        F.length(F.regexp_replace(t, r"[^A-Za-z]", "")).alias("alpha_chars"),
+        F.length(F.regexp_replace(t, r"[^0-9]", "")).alias("digit_chars"),
+        F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", "")).alias("punct_chars"),
+    )
+
+
+ORACLE_TEXT_QUALITY = r"""
+SELECT doc_id,
+       CAST(length(text) AS INT) AS n_chars,
+       CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS INT) AS alpha_chars,
+       CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS INT) AS digit_chars,
+       CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS INT) AS punct_chars
+FROM documents
+"""
+
+
+def q_lang_id_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion counts of the marker-lexicon language-ID vs the labeled
+    lang column."""
+    from ..operators.textstats import lang_id
+    d = _documents(spark, sf_dir)
+    return (d.groupBy(F.col("lang"), lang_id(F.col("text")).alias("lang_pred"))
+            .agg(F.count("*").alias("n")))
+
+
+def _lang_oracle_sql() -> str:
+    from ..operators.textstats import LANG_MARKERS
+    counts = []
+    for lang, markers in LANG_MARKERS.items():
+        lst = ", ".join(f"'{m}'" for m in markers)
+        counts.append(
+            f"len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), "
+            f"x -> x IN ({lst}))) AS {lang}_hits")
+    langs = list(LANG_MARKERS)
+    greatest = "greatest(" + ", ".join(f"{lg}_hits" for lg in langs) + ")"
+    case = "CASE WHEN " + greatest + " = 0 THEN 'und' " + " ".join(
+        f"WHEN {lg}_hits = {greatest} THEN '{lg}'" for lg in langs) + " END"
+    return f"""
+WITH scored AS (
+  SELECT lang, {', '.join(counts)}
+  FROM documents
+)
+SELECT lang, {case} AS lang_pred, CAST(count(*) AS BIGINT) AS n
+FROM scored GROUP BY 1, 2
+"""
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable char-fold fingerprint (rolling polynomial hash)."""
+    from ..operators.textstats import char_fingerprint
+    d = _documents(spark, sf_dir)
+    return d.select("doc_id", char_fingerprint(F.col("text")).alias("fp"))
+
+
+ORACLE_FINGERPRINTS = """
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+         (a, b) -> (a * 31 + b) % 1000000007) AS fp
+FROM documents
+"""
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 for the first 5 vectors (rank only — exact
+    fp equality of the similarity itself across engines is not guaranteed,
+    the neighbour ordering is, given non-degenerate random data)."""
+    from ..operators.similarity import cosine_topk
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5)
+    out = cosine_topk(e, q, k=3)
+    return out.select("query_id", "neighbor_id", "rank")
+
+
+ORACLE_EMBEDDING_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+sims AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS sim
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+  FROM sims
+)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 3
+"""
+
+
 QUERIES = {
     "geoip_enrich_country_counts": q_geoip_enrich_country_counts,
     "geoip_enrich_values": q_geoip_enrich_values,
@@ -277,6 +431,13 @@ QUERIES = {
     "parse_access_log": q_parse_access_log,
     "json_props_rollup": q_json_props_rollup,
     "agg_pricing_summary": q_agg_pricing_summary,
+    "geoip_compat_enrich": q_geoip_compat_enrich,
+    "dedup_profile": q_dedup_profile,
+    "token_counts": q_token_counts,
+    "text_quality_counts": q_text_quality_counts,
+    "lang_id_matrix": q_lang_id_matrix,
+    "doc_fingerprints": q_doc_fingerprints,
+    "embedding_topk": q_embedding_topk,
 }
 
 ORACLES = {
@@ -288,4 +449,11 @@ ORACLES = {
     "parse_access_log": ORACLE_PARSE_ACCESS_LOG,
     "json_props_rollup": ORACLE_JSON_PROPS,
     "agg_pricing_summary": ORACLE_PRICING,
+    "geoip_compat_enrich": ORACLE_COMPAT_ENRICH,
+    "dedup_profile": ORACLE_DEDUP_PROFILE,
+    "token_counts": ORACLE_TOKEN_COUNTS,
+    "text_quality_counts": ORACLE_TEXT_QUALITY,
+    "lang_id_matrix": _lang_oracle_sql(),
+    "doc_fingerprints": ORACLE_FINGERPRINTS,
+    "embedding_topk": ORACLE_EMBEDDING_TOPK,
 }

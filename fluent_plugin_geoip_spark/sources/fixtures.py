@@ -153,6 +153,23 @@ def world_country_lang() -> dict[str, str]:
     return {iso: lang for iso, _n, lang, _a, _b in WORLD_COUNTRIES}
 
 
+def world_compat_db() -> GeoDatabase:
+    """Same world ranges exposed through the flat geoip2_compat attr profile
+    (GEOIP2_COMPAT_KEYS, filter_geoip.rb:32) — exercises the whitelisted
+    backend path against the same oracle table."""
+    rows = []
+    for r in world_rows():
+        rows.append({
+            "range_start": r["range_start"], "range_end": r["range_end"],
+            "city": r["city.names.en"],
+            "country_code": r["country.iso_code"],
+            "country_name": r["country.names.en"],
+            "latitude": r["location.latitude"],
+            "longitude": r["location.longitude"],
+        })
+    return GeoDatabase.from_rows(rows, profile="geoip2_compat")
+
+
 # ---------------------------------------------------------------------------
 # ASN table (FIXTURES.md §4) — seeded synthetic, self-consistency tested
 # ---------------------------------------------------------------------------
