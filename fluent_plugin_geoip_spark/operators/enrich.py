@@ -67,11 +67,19 @@ class GeoipEnricher:
         geo_cols: dict[str, str] = {}
         from ..config import accessor_column
         from ..functions.ipv4 import ipv4_str_to_long
+        ip_cols: list[str] = []
         for i, (key, attrs) in enumerate(self._attrs_by_key.items()):
             col_name = f"__geo_{i}"
             udf = self._udf_for(attrs)
-            ip_col = ipv4_str_to_long(accessor_column(comp.accessors[key]).cast("string"))
-            df = df.withColumn(col_name, udf(ip_col))
+            # materialize the parsed long in its own codegen'd Project so the
+            # octet split/cast chain is evaluated once, not once per octet
+            # inside the UDF argument expression
+            ip_name = f"__ip_{i}"
+            df = df.withColumn(
+                ip_name,
+                ipv4_str_to_long(accessor_column(comp.accessors[key]).cast("string")))
+            df = df.withColumn(col_name, udf(F.col(ip_name)))
+            ip_cols.append(ip_name)
             geo_cols[key] = col_name
 
         # 2) create_placeholder: typed Column per unique placeholder
@@ -100,7 +108,7 @@ class GeoipEnricher:
         if skip_cond is not None:
             out[SKIP_FLAG] = skip_cond
         df = df.withColumns(out)
-        return df.drop(*geo_cols.values())
+        return df.drop(*geo_cols.values(), *ip_cols)
 
     def _placeholder_column(self, ph, geo_cols: dict[str, str]) -> tuple[Column, str]:
         dtype = self.db.attr_type(ph.geoip_key)

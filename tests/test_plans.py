@@ -1,0 +1,103 @@
+"""Physical-plan shape tests — the scale properties the engine promises:
+
+- column pruning reaches the parquet scan (a rollup must not read html)
+- predicate pushdown reaches the scan (PushedFilters)
+- the enrich stage crosses into Python exactly ONCE per lookup key set
+  (ArrowEvalPython), with no shuffle (narrow map)
+- the routed fan-out introduces exactly one Exchange (the salted repartition)
+- aggregates run as partial+final hash aggregation (map-side combine)
+
+These are the .explain() checks SURVEY.md §4.2 commits to; they pin the plan
+so a regression (e.g. a UDF blocking pruning) fails loudly.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluent_plugin_geoip_spark.plans.pipeline import GeoipPipeline
+from fluent_plugin_geoip_spark.sources.pages import generate_pages
+
+
+def explain(df, mode: str = "formatted") -> str:
+    jmode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+    return df._jdf.queryExecution().explainString(jmode.fromString(mode))
+
+
+@pytest.fixture(scope="module")
+def pages_parquet(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("plans") / "pages.parquet")
+    generate_pages(spark, 1000, partitions=2).write.parquet(d)
+    return d
+
+
+def test_rollup_prunes_html(spark, pages_parquet):
+    pages = spark.read.parquet(pages_parquet)
+    counts = (GeoipPipeline(spark).enrich(pages)
+              .groupBy("route_country", "lang").agg(F.count("*").alias("n")))
+    plan = explain(counts)
+    scan = plan[plan.index("ReadSchema"):].splitlines()[0]
+    assert "html" not in scan, scan
+    assert "warc_ts" not in scan, scan
+    assert "text" in scan and "lang" in scan
+
+
+def test_filter_pushdown_to_scan(spark, pages_parquet):
+    pages = spark.read.parquet(pages_parquet).filter(F.col("lang") == "en")
+    plan = explain(pages)
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan, plan
+
+
+def test_enrich_single_arrow_crossing_no_shuffle(spark, pages_parquet):
+    pages = spark.read.parquet(pages_parquet)
+    enriched = GeoipPipeline(spark).enrich(pages)
+    plan = explain(enriched)
+    tree = plan.split("\n\n")[0]  # formatted mode repeats nodes in details
+    assert tree.count("ArrowEvalPython") == 1, tree
+    assert "Exchange" not in plan, plan
+    assert "codegen id" in plan  # projections run inside WholeStageCodegen
+
+
+def test_multi_key_still_single_crossing(spark):
+    """Two lookup keys → two UDF invocations, but Spark batches adjacent
+    Python UDFs into a single ArrowEvalPython node (one crossing/batch)."""
+    from fluent_plugin_geoip_spark.config import GeoipConfig
+    from fluent_plugin_geoip_spark.operators.enrich import GeoipEnricher
+    from fluent_plugin_geoip_spark.sources.fixtures import geoip2_city_db
+    df = spark.createDataFrame([("8.8.8.8", "125.54.15.42")], "a string, b string")
+    cfg = GeoipConfig(lookup_keys=["a", "b"],
+                      records={"ca": "${country.iso_code['a']}",
+                               "cb": "${country.iso_code['b']}"})
+    out = GeoipEnricher(spark, cfg, geoip2_city_db()).transform(df)
+    plan = explain(out)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("ArrowEvalPython") == 1, tree
+
+
+def test_route_plan_has_single_salted_exchange(spark, pages_parquet):
+    pages = spark.read.parquet(pages_parquet)
+    enriched = GeoipPipeline(spark).enrich(pages)
+    salt = F.pmod(F.xxhash64(F.col("url")), F.lit(16))
+    routed = enriched.repartition(8, F.col("route_country"), salt)
+    plan = explain(routed)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1, tree
+    assert "hashpartitioning(route_country" in plan, plan
+
+
+def test_aggregate_partial_final(spark, pages_parquet):
+    pages = spark.read.parquet(pages_parquet)
+    counts = pages.groupBy("lang").agg(F.count("*").alias("n"))
+    plan = explain(counts)
+    tree = plan.split("\n\n")[0]
+    # partial + final hash aggregate (map-side combine before the shuffle)
+    assert tree.count("HashAggregate") == 2, tree
+
+
+def test_lookup_udf_input_is_long(spark, pages_parquet):
+    """The Arrow crossing must carry the JVM-parsed long, not the ip string."""
+    pages = spark.read.parquet(pages_parquet)
+    enriched = GeoipPipeline(spark).enrich(pages)
+    plan = explain(enriched, "extended")
+    assert "geo_lookup" in plan
+    # the UDF argument expression contains the shiftleft of the octet parse
+    assert "shiftleft" in plan, plan
