@@ -45,12 +45,26 @@ class PipelineResult:
     manifest: dict = field(default_factory=dict)
 
 
+ASN_RECORDS = {
+    "asn": "${asn['client_ip']}",
+    "as_org": "${as_org['client_ip']}",
+}
+
+
 class GeoipPipeline:
-    """parse → enrich → route → aggregate over a pages DataFrame."""
+    """parse → enrich → route → aggregate over a pages DataFrame.
+
+    Two lookup stages (city DB + ASN DB, per the north_star's "city/ASN"
+    enrichment) run back-to-back; both UDFs depend only on the parsed ip
+    long, so Spark's ExtractPythonUDFs batches them into a single
+    ArrowEvalPython crossing.
+    """
 
     def __init__(self, spark: SparkSession, database: GeoDatabase | None = None,
                  records: dict[str, str] | None = None,
-                 skip_adding_null_record: bool = False):
+                 skip_adding_null_record: bool = False,
+                 asn_database: GeoDatabase | None = None,
+                 enable_asn: bool = False):
         self.spark = spark
         self.db = database or world_db()
         cfg = GeoipConfig(
@@ -59,10 +73,20 @@ class GeoipPipeline:
             skip_adding_null_record=skip_adding_null_record,
         )
         self.enricher = GeoipEnricher(spark, cfg, self.db)
+        self.asn_enricher = None
+        if enable_asn:
+            from ..sources.fixtures import asn_db
+            asn_cfg = GeoipConfig(lookup_keys=["client_ip"],
+                                  records=dict(ASN_RECORDS))
+            self.asn_enricher = GeoipEnricher(
+                spark, asn_cfg, asn_database or asn_db())
 
     def enrich(self, pages: DataFrame) -> DataFrame:
         parsed = parse_pages(pages)
-        return with_route_key(self.enricher.transform(parsed))
+        out = self.enricher.transform(parsed)
+        if self.asn_enricher is not None:
+            out = self.asn_enricher.transform(out)
+        return with_route_key(out)
 
     def run(self, pages: DataFrame, out_dir: str | None = None,
             resume: bool = False, salt_buckets: int = 16,

@@ -135,3 +135,20 @@ def test_resume_skips_completed_partitions(spark, pages_dir, tmp_path):
     assert second.manifest["US"]["completed_at"] == partial["US"]["completed_at"]
     written = spark.read.parquet(out)
     assert written.count() == N
+
+
+def test_asn_enrichment_self_consistent(spark):
+    """FIXTURES.md §4: every generated IP's ASN matches the generator table."""
+    import ipaddress
+    from fluent_plugin_geoip_spark.sources.fixtures import asn_rows
+    pages = generate_pages(spark, 1500)
+    enr = GeoipPipeline(spark, enable_asn=True).enrich(pages)
+    rows = enr.select("client_ip", "asn", "as_org") \
+              .filter(F.col("asn").isNotNull()).collect()
+    assert rows
+    table = sorted((r["range_start"], r["range_end"], r["asn"], r["as_org"])
+                   for r in asn_rows())
+    for r in rows[:300]:
+        ip = int(ipaddress.ip_address(r.client_ip))
+        hit = [(a, o) for s, e, a, o in table if s <= ip <= e]
+        assert hit and hit[0] == (r.asn, r.as_org)

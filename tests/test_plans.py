@@ -101,3 +101,14 @@ def test_lookup_udf_input_is_long(spark, pages_parquet):
     assert "geo_lookup" in plan
     # the UDF argument expression contains the shiftleft of the octet parse
     assert "shiftleft" in plan, plan
+
+
+def test_asn_enrich_fuses_into_one_crossing(spark, pages_parquet):
+    """city + ASN lookups both depend only on the parsed ip long →
+    ExtractPythonUDFs must batch them into one ArrowEvalPython."""
+    pages = spark.read.parquet(pages_parquet)
+    enriched = GeoipPipeline(spark, enable_asn=True).enrich(pages)
+    plan = explain(enriched)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("ArrowEvalPython") == 1, tree
+    assert "Exchange" not in plan
