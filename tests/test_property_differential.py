@@ -1,0 +1,108 @@
+"""Property-based differential testing: for randomly generated template
+configs and records, the Spark engine's output must equal the independent
+pure-Python reference interpreter (tests/reference_interpreter.py), which
+follows the Ruby control flow of filter_geoip.rb directly.
+
+Strategy note: each hypothesis example compiles one random config and runs
+ALL sampled records through one Spark job (batch comparison), keeping
+example count low but record coverage high.
+"""
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import types as T
+
+from fluent_plugin_geoip_spark.config import GeoipConfig, GeoipConfigError
+from fluent_plugin_geoip_spark.operators.enrich import SKIP_FLAG, GeoipEnricher
+from fluent_plugin_geoip_spark.sources.fixtures import GEOIP2_CITY_ROWS, geoip2_city_db
+from tests.reference_interpreter import RefGeoipFilter
+
+# interval list for the interpreter, built from the same fixture rows
+RANGES = [(r["range_start"], r["range_end"],
+           {k: v for k, v in r.items() if k not in ("range_start", "range_end")})
+          for r in GEOIP2_CITY_ROWS]
+
+STRING_ATTRS = ["city.names.en", "country.iso_code", "country.names.en",
+                "postal.code", "subdivisions.0.iso_code", "nonexistent.attr"]
+FLOAT_ATTRS = ["location.latitude", "location.longitude"]
+RECORD_KEYS = ["host", "host2", "unknown_key"]
+
+IPS = ["66.102.3.80", "8.8.8.8", "125.54.15.42", "180.94.85.84",
+       "203.0.113.1", "0", "", None, "256.1.2.3", "66.102.15.255",
+       "66.102.16.0", "not an ip"]
+
+
+def ph(attr: str, key: str, dq: bool) -> str:
+    return "${" + attr + ('["' + key + '"]' if dq else "['" + key + "']") + "}"
+
+
+ph_string = st.builds(ph, st.sampled_from(STRING_ATTRS),
+                      st.sampled_from(RECORD_KEYS), st.booleans())
+ph_float = st.builds(ph, st.sampled_from(FLOAT_ATTRS),
+                     st.sampled_from(RECORD_KEYS), st.booleans())
+ph_any = st.one_of(ph_string, ph_float)
+
+literal = st.sampled_from([" ", ",", "x:", "[geo] ", "msg => ", "-", "| "])
+
+mode1 = ph_any
+
+mode3 = st.lists(
+    st.one_of(ph_any, literal,
+              ph_any.map(lambda p: "'" + p + "'")),  # quoted → hash miss → ''
+    min_size=1, max_size=5,
+).map("".join).filter(lambda t: t.strip() and not t.startswith(("{", "[")))
+
+json_array = st.one_of(
+    st.lists(ph_string, min_size=1, max_size=3)
+      .map(lambda ps: "[" + ", ".join(ps) + "]"),
+    st.lists(st.one_of(ph_float, ph_float.map(lambda p: '"' + p + '"')),
+             min_size=1, max_size=3)
+      .map(lambda ps: "[" + ", ".join(ps) + "]"),
+)
+
+json_object = st.dictionaries(
+    st.sampled_from(["k1", "k2", "lat", "name"]),
+    st.one_of(ph_any, ph_any.map(lambda p: '"' + p + '"')),
+    min_size=1, max_size=3,
+).map(lambda d: "{ " + ", ".join(f'"{k}" : {v}' for k, v in d.items()) + " }")
+
+template = st.one_of(mode1, mode3, json_array, json_object)
+
+records_cfg = st.dictionaries(
+    st.sampled_from(["out_a", "out_b", "out_c", "geo.city"]),
+    template, min_size=1, max_size=4)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(records=records_cfg,
+       skip=st.booleans(),
+       hosts=st.lists(st.tuples(st.sampled_from(IPS), st.sampled_from(IPS)),
+                      min_size=1, max_size=8, unique=True))
+def test_spark_matches_reference_interpreter(spark, records, skip, hosts):
+    cfg = GeoipConfig(lookup_keys=["host", "host2"], records=records,
+                      skip_adding_null_record=skip)
+    try:
+        enr = GeoipEnricher(spark, cfg, geoip2_city_db())
+    except GeoipConfigError:
+        return  # generator produced a config the compiler rejects — fine
+
+    ref = RefGeoipFilter(["host", "host2"], records, RANGES,
+                         skip_adding_null_record=skip)
+
+    schema = T.StructType([T.StructField("host", T.StringType()),
+                           T.StructField("host2", T.StringType())])
+    df = spark.createDataFrame(list(hosts), schema)
+    out_rows = [r.asDict(recursive=True) for r in enr.transform(df).collect()]
+
+    for (h1, h2), got in zip(hosts, out_rows):
+        expected = ref.filter({"host": h1, "host2": h2})
+        skipped = got.pop(SKIP_FLAG, False)
+        if skipped:
+            # reference returns the record untouched; Spark carries nulls
+            for k in records:
+                assert got.get(k) is None, (records, h1, h2, got)
+                got.pop(k, None)
+                expected.pop(k, None)
+        # input columns: interpreter keeps python Nones identically
+        assert got == expected, (records, skip, h1, h2, got, expected)
