@@ -32,8 +32,37 @@ from fluent_plugin_geoip_spark.sources.pages import generate_pages  # noqa: E402
 BENCH_QUERIES = [
     "geoip_enrich_country_counts", "geoip_enrich_values", "geoip_multi_key",
     "geoip_route_counts", "parse_access_log", "json_props_rollup",
-    "agg_pricing_summary",
+    "agg_pricing_summary", "dedup_profile", "token_counts",
+    "text_quality_counts", "lang_id_matrix", "doc_fingerprints",
+    "embedding_topk",
 ]
+
+
+def bench_training_ops(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+    """Heavier training-data operators not in the oracle contract: MinHash-LSH
+    near-dup over documents, SimHash, LSH ANN over embeddings."""
+    from pyspark.sql import functions as F
+
+    from fluent_plugin_geoip_spark.operators import dedup, similarity
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    n = dedup.minhash_lsh_dedup(docs, threshold=0.8).count()
+    out["dedup_minhash_lsh"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    n = dedup.simhash_dedup(docs, max_hamming=3).count()
+    out["dedup_simhash"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    q = embs.filter(F.col("vec_id") < 20)
+    n = similarity.lsh_topk(embs, q, k=10, nbits=8, n_tables=4).count()
+    out["ann_lsh_topk"] = round(time.perf_counter() - t0, 3)
+    del n
+    return out
 
 
 def make_spark(cpus: int) -> SparkSession:
@@ -101,6 +130,8 @@ def main() -> None:
         n = df.count()
         queries[name] = round(time.perf_counter() - t0, 3)
         extra[name] = {"rows": n}
+
+    queries.update(bench_training_ops(spark, sf_dir))
 
     total = round(sum(queries.values()), 3)
     print(json.dumps({
