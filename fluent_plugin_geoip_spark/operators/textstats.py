@@ -101,28 +101,46 @@ LANG_MARKERS: dict[str, list[str]] = {
 
 
 def lang_scores(text: Column) -> Column:
-    """Struct of per-language marker-hit counts over whitespace tokens."""
-    toks = F.transform(tokens(text), lambda t: F.lower(t))
-    fields = []
-    for lang, markers in LANG_MARKERS.items():
-        fields.append(
-            F.size(F.filter(toks, lambda t: t.isin(markers))).alias(lang))
-    return F.struct(*fields)
+    """Struct of per-language marker-hit counts over whitespace tokens.
+
+    Single fold over the token array updating all language counters at once
+    (``zip_with`` against an array-of-marker-arrays literal) — per-language
+    ``filter`` expressions would re-evaluate the interpreted token transform
+    once per language."""
+    langs = list(LANG_MARKERS)
+    counts = _lang_counts_array(text)
+    return F.struct(*[
+        F.element_at(counts, i + 1).alias(lang) for i, lang in enumerate(langs)])
+
+
+def _lang_counts_array(text: Column) -> Column:
+    langs = list(LANG_MARKERS)
+    marker_arrays = F.array(*[
+        F.array(*[F.lit(m) for m in LANG_MARKERS[lang]]) for lang in langs])
+    return F.aggregate(
+        tokens(text),
+        F.array_repeat(F.lit(0), len(langs)),
+        lambda acc, t: F.zip_with(
+            acc, marker_arrays,
+            lambda a, mk: a + F.when(F.array_contains(mk, F.lower(t)), 1)
+                               .otherwise(0)))
 
 
 def lang_id(text: Column, default: str = "und") -> Column:
     """argmax language with deterministic tie-break (marker count, then
-    language code order); no hits → ``default``."""
-    s = lang_scores(text)
+    language declaration order); no hits → ``default``.
+
+    The counts aggregate appears exactly once in the expression tree: the
+    argmax is a zip_with over (counts, metadata literal) + array_max."""
     langs = list(LANG_MARKERS)
-    # build array<struct<score,lang>> and take array_max (score, then lang
-    # desc? — tie-break: FIRST lang in declaration order wins → invert index)
-    entries = F.array(*[
-        F.struct(s[lang].alias("score"),
-                 F.lit(len(langs) - i).alias("prio"),
-                 F.lit(lang).alias("lang"))
-        for i, lang in enumerate(langs)
-    ])
+    meta = F.array(*[
+        F.struct(F.lit(len(langs) - i).alias("prio"), F.lit(lang).alias("lang"))
+        for i, lang in enumerate(langs)])
+    entries = F.zip_with(
+        _lang_counts_array(text), meta,
+        lambda score, m: F.struct(score.alias("score"),
+                                  m["prio"].alias("prio"),
+                                  m["lang"].alias("lang")))
     best = F.array_max(entries)
     return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit(default))
 
