@@ -34,6 +34,27 @@ UNROUTED = "__unrouted__"
 MANIFEST_DIR = "_lineage"
 
 
+def iceberg_available(spark) -> bool:
+    """True when Iceberg's Spark runtime is on the classpath (S5: Iceberg
+    catalog target with partitioned-parquet fallback in environments without
+    the jars — like this sandbox)."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+def resolve_sink_format(spark, requested: str | None = None) -> str:
+    """Pick the sink format: explicit request wins; else iceberg when its
+    runtime is present, else parquet. Both produce the identical
+    per-country partition layout the manifest/resume logic relies on."""
+    if requested:
+        return requested
+    return "iceberg" if iceberg_available(spark) else "parquet"
+
+
 def with_route_key(df: DataFrame, country_col: str = "country",
                    route_col: str = "route_country") -> DataFrame:
     """Null/miss countries route to the UNROUTED sink (deterministic total
@@ -48,7 +69,7 @@ def route_and_write(
     salt_buckets: int = 16,
     num_partitions: int | None = None,
     resume: bool = False,
-    fmt: str = "parquet",
+    fmt: str | None = None,
     stat_cols: tuple[str, ...] = (),
 ) -> tuple[dict, list]:
     """Fan the DataFrame out to ``out_dir/<route_col>=<value>/`` sinks.
@@ -59,6 +80,7 @@ def route_and_write(
     it for rollups instead of issuing a second scan.
     """
     spark = df.sparkSession
+    fmt = resolve_sink_format(spark, fmt)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     done: dict[str, dict] = read_manifest(out_dir) if resume else {}

@@ -152,3 +152,13 @@ def test_asn_enrichment_self_consistent(spark):
         ip = int(ipaddress.ip_address(r.client_ip))
         hit = [(a, o) for s, e, a, o in table if s <= ip <= e]
         assert hit and hit[0] == (r.asn, r.as_org)
+
+
+def test_sink_format_fallback(spark):
+    from fluent_plugin_geoip_spark.operators.route import (
+        iceberg_available, resolve_sink_format)
+    # sandbox has no iceberg jars → parquet fallback; explicit always wins
+    assert resolve_sink_format(spark) in ("parquet", "iceberg")
+    if not iceberg_available(spark):
+        assert resolve_sink_format(spark) == "parquet"
+    assert resolve_sink_format(spark, "orc") == "orc"
