@@ -41,9 +41,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--salt-buckets", type=int, default=16)
     args = p.parse_args(argv)
 
-    spark = (SparkSession.builder.appName("fluent_plugin_geoip_spark")
-             .config("spark.sql.adaptive.enabled", "true")
-             .getOrCreate())
+    from .session import build_session
+    spark = build_session(app_name="fluent_plugin_geoip_spark")
     spark.sparkContext.setLogLevel("WARN")
 
     from .plans.pipeline import GeoipPipeline

@@ -106,3 +106,28 @@ def test_spark_matches_reference_interpreter(spark, records, skip, hosts):
                 expected.pop(k, None)
         # input columns: interpreter keeps python Nones identically
         assert got == expected, (records, skip, h1, h2, got, expected)
+
+
+ipv4ish = st.one_of(
+    st.from_regex(r"\d{1,4}\.\d{1,4}\.\d{1,4}\.\d{1,4}", fullmatch=True),
+    st.text(alphabet="0123456789. abc", max_size=18),
+    st.sampled_from(["", "0", "255.255.255.255", "0.0.0.0", " 8.8.8.8 ",
+                     "1.2.3.4.5", "1..2.3", "01.2.3.4"]),
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(ips=st.lists(ipv4ish, min_size=1, max_size=60))
+def test_jvm_and_pandas_ipv4_parse_agree(spark, ips):
+    """The JVM codegen parse (hot path) and the pandas kernel parse (string
+    UDF path) must agree on every input."""
+    import pandas as pd
+    from fluent_plugin_geoip_spark.functions.ipv4 import (
+        ipv4_str_to_long, ipv4_to_uint32)
+    vals, valid = ipv4_to_uint32(pd.Series(ips, dtype=object))
+    expected = [int(v) if ok else None for v, ok in zip(vals, valid)]
+    df = spark.createDataFrame([(s,) for s in ips], "ip string")
+    got = [r.x for r in df.select(
+        ipv4_str_to_long(df.ip).alias("x")).collect()]
+    assert got == expected, list(zip(ips, got, expected))
