@@ -81,3 +81,52 @@ def test_windowed_counts_stream(spark, staged_pages, tmp_path):
     assert total == N
     cols = set(out.columns)
     assert {"window", "route_country", "lang", "n"} <= cols
+
+
+def test_sessionize_batch(spark):
+    from fluent_plugin_geoip_spark.streaming.sessionize import sessionize_batch
+    rows = [("1.1.1.1", "2024-01-01 00:00:00"),
+            ("1.1.1.1", "2024-01-01 00:10:00"),
+            ("1.1.1.1", "2024-01-01 01:30:00"),   # > 30 min gap → new session
+            ("2.2.2.2", "2024-01-01 00:05:00")]
+    df = spark.createDataFrame(rows, "client_ip string, ts string") \
+              .withColumn("warc_ts", F.to_timestamp("ts"))
+    out = {(r.client_ip, str(r.session_start)): r.n_events
+           for r in sessionize_batch(df, gap_minutes=30).collect()}
+    assert out == {("1.1.1.1", "2024-01-01 00:00:00"): 2,
+                   ("1.1.1.1", "2024-01-01 01:30:00"): 1,
+                   ("2.2.2.2", "2024-01-01 00:05:00"): 1}
+
+
+def test_sessionize_stream_closes_gapped_sessions(spark, tmp_path):
+    from fluent_plugin_geoip_spark.streaming.sessionize import (
+        SESSION_SCHEMA, sessionize_stream)
+    src = str(tmp_path / "events")
+    rows = [("1.1.1.1", "2024-01-01 00:00:00"),
+            ("1.1.1.1", "2024-01-01 00:10:00"),
+            ("1.1.1.1", "2024-01-01 02:00:00"),   # closes the first session
+            ("3.3.3.3", "2024-01-01 00:00:00"),
+            ("3.3.3.3", "2024-01-01 05:00:00")]   # closes 3.3.3.3's first
+    df = spark.createDataFrame(rows, "client_ip string, ts string") \
+              .withColumn("warc_ts", F.to_timestamp("ts")).drop("ts")
+    df.write.parquet(src)
+    stream = (spark.readStream
+              .schema("client_ip string, warc_ts timestamp").parquet(src))
+    q = (sessionize_stream(stream, gap_minutes=30)
+         .writeStream.outputMode("append").format("memory")
+         .queryName("sessions_test")
+         .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    # processAllAvailable never settles under ProcessingTimeTimeout (empty
+    # batches keep firing timers) — poll the sink instead
+    expected = {("1.1.1.1", "2024-01-01 00:00:00"): 2,
+                ("3.3.3.3", "2024-01-01 00:00:00"): 1}
+    got = {}
+    for _ in range(60):
+        got = {(r.client_ip, str(r.session_start)): r.n_events
+               for r in spark.sql("SELECT * FROM sessions_test").collect()}
+        if got == expected:
+            break
+        time.sleep(1)
+    q.stop()
+    # closed-by-gap sessions are emitted; still-open tails await timeout
+    assert got == expected
