@@ -422,6 +422,62 @@ SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 3
 """
 
 
+# Window-function family: sessionization + top-k per group
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session rollup (30-min gap) over the events stream — the
+    batch sessionization operator with a pure-SQL window oracle."""
+    from ..streaming.sessionize import sessionize_batch
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("client_ip"),
+        F.col("ts").alias("warc_ts"))
+    out = sessionize_batch(ev, gap_minutes=30)
+    return out.select(F.col("client_ip").alias("user_key"),
+                      "session_start", "session_end", "n_events")
+
+
+ORACLE_SESSIONIZE = """
+WITH marked AS (
+  SELECT CAST(user_id AS VARCHAR) AS user_key, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_key, ts,
+         sum(new_session) OVER (PARTITION BY user_key ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_key, min(ts) AS session_start, max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sess GROUP BY user_key, sid
+"""
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events by value per event_type (window row_number)."""
+    from pyspark.sql import Window
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id"))
+    return (ev.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select("event_type", "event_id", "value", "rank"))
+
+
+ORACLE_TOPK = """
+SELECT event_type, event_id, value,
+       CAST(rank AS INT) AS rank
+FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rank
+  FROM events)
+WHERE rank <= 3
+"""
+
+
 QUERIES = {
     "geoip_enrich_country_counts": q_geoip_enrich_country_counts,
     "geoip_enrich_values": q_geoip_enrich_values,
@@ -438,6 +494,8 @@ QUERIES = {
     "lang_id_matrix": q_lang_id_matrix,
     "doc_fingerprints": q_doc_fingerprints,
     "embedding_topk": q_embedding_topk,
+    "sessionize_events": q_sessionize_events,
+    "topk_per_group": q_topk_per_group,
 }
 
 ORACLES = {
@@ -456,4 +514,6 @@ ORACLES = {
     "lang_id_matrix": _lang_oracle_sql(),
     "doc_fingerprints": ORACLE_FINGERPRINTS,
     "embedding_topk": ORACLE_EMBEDDING_TOPK,
+    "sessionize_events": ORACLE_SESSIONIZE,
+    "topk_per_group": ORACLE_TOPK,
 }
