@@ -118,7 +118,30 @@ def route_and_write(
         ent["rows"] += r["rows"]
         ent["checksum"] += int(r["checksum"] or 0)
     write_manifest(out_dir, manifest)
+    # input lineage: which source splits fed this run (driver-side metadata,
+    # no extra job; empty for purely generated inputs)
+    try:
+        inputs = sorted(df.inputFiles())
+    except Exception:
+        inputs = []
+    write_input_lineage(out_dir, inputs)
     return manifest, stats
+
+
+def write_input_lineage(out_dir: str, inputs: list[str]) -> None:
+    p = os.path.join(out_dir, MANIFEST_DIR, "inputs.json")
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    with open(p, "w") as f:
+        json.dump({"completed_at": int(time.time()), "input_files": inputs},
+                  f, indent=1)
+
+
+def read_input_lineage(out_dir: str) -> list[str]:
+    p = os.path.join(out_dir, MANIFEST_DIR, "inputs.json")
+    if not os.path.exists(p):
+        return []
+    with open(p) as f:
+        return json.load(f).get("input_files", [])
 
 
 def manifest_path(out_dir: str) -> str:

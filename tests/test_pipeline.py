@@ -162,3 +162,12 @@ def test_sink_format_fallback(spark):
     if not iceberg_available(spark):
         assert resolve_sink_format(spark) == "parquet"
     assert resolve_sink_format(spark, "orc") == "orc"
+
+
+def test_input_lineage_recorded(spark, pages_dir, tmp_path):
+    from fluent_plugin_geoip_spark.operators.route import read_input_lineage
+    out = str(tmp_path / "routed")
+    GeoipPipeline(spark).run(spark.read.parquet(pages_dir), out_dir=out)
+    inputs = read_input_lineage(out)
+    assert inputs and all(pages_dir.split("/")[-1] in p or "pages" in p
+                          for p in inputs)
