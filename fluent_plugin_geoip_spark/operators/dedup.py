@@ -180,7 +180,13 @@ def minhash_signatures_pandas(df: DataFrame, id_col: str = "doc_id",
                 sigs.append(((grams[None, :] * pa + pb) % _P).min(axis=1))
             yield pd.DataFrame({"id": pdf[id_col], "sig": sigs})
 
-    return df.select(id_col, text_col).mapInPandas(run, schema)
+    src = df.select(id_col, text_col)
+    # a single-file source yields 1-2 partitions — spread the kernel across
+    # the cluster (cheap vs the per-row signature work)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    return src.mapInPandas(run, schema)
 
 
 def _band_entries(sig: Column, bands: int, rows: int) -> Column:
