@@ -18,7 +18,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, functions as F
 
-_OCTET_RE = r"^\s*(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})\s*$"
+# space-only trim: matches the JVM path (F.trim strips spaces, not tabs)
+_OCTET_RE = r"^ *(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3}) *$"
 
 
 def ipv4_str_to_long(col: Column) -> Column:

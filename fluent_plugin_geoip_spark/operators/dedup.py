@@ -93,10 +93,14 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
         pairs = (candidates
                  .join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
                  .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b"))
-    return (pairs
-            .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
-            .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard"))
+    out = (pairs
+           .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+           .filter(F.col("jaccard") >= threshold)
+           .select("id_a", "id_b", "jaccard")
+           .persist())
+    out.count()  # materialize verified pairs (small), release shingle cache
+    sh.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -215,17 +219,18 @@ def lsh_candidate_pairs(df: DataFrame, sig_col: str, id_col: str = "id",
     # copies), exploding analysis/codegen time. Persisting the (id, sig)
     # projection is also the right call at scale — a 64-hash signature is
     # ~520 B/row and is probed by every band.
-    df = df.select(F.col(id_col).alias("id"), F.col(sig_col).alias("__sig")) \
-           .persist()
-    exploded = (df.select("id",
-                          F.explode(_band_entries(F.col("__sig"), bands, rows))
-                          .alias("b"))
+    sigs = df.select(F.col(id_col).alias("id"), F.col(sig_col).alias("__sig")) \
+             .persist()
+    exploded = (sigs.select("id",
+                            F.explode(_band_entries(F.col("__sig"), bands, rows))
+                            .alias("b"))
                 .select("id", F.col("b.band").alias("band"),
                         F.col("b.key").alias("key")))
     grouped = (exploded.groupBy("band", "key")
                .agg(F.sort_array(F.collect_list("id")).alias("ids"))
                .withColumn("bucket_size", F.size("ids"))
-               .filter(F.col("bucket_size") > 1))
+               .filter(F.col("bucket_size") > 1)
+               .persist())  # one shuffle serves both the audit and the pairs
     n_dropped = grouped.filter(F.col("bucket_size") > max_bucket).count()
     if n_dropped:
         log.warning("lsh_candidate_pairs: dropping %d over-full buckets "
@@ -236,7 +241,11 @@ def lsh_candidate_pairs(df: DataFrame, sig_col: str, id_col: str = "id",
                  "transform(slice(ids, i + 2, size(ids)), y -> struct(x as id_a, y as id_b))))"))
                  .alias("p"))
              .select("p.id_a", "p.id_b")
-             .distinct())
+             .distinct()
+             .persist())
+    pairs.count()  # materialize (small), then release the upstream caches
+    grouped.unpersist()
+    sigs.unpersist()
     return pairs
 
 
@@ -326,14 +335,26 @@ def simhash_dedup(df: DataFrame, id_col: str = "doc_id",
                 .select("id", "b.band", "b.key"))
     grouped = (exploded.groupBy("band", "key")
                .agg(F.sort_array(F.collect_list("id")).alias("ids"))
-               .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket)))
-    pairs = (grouped.select(F.explode(F.expr(
+               .withColumn("bucket_size", F.size("ids"))
+               .filter(F.col("bucket_size") > 1)
+               .persist())
+    n_dropped = grouped.filter(F.col("bucket_size") > max_bucket).count()
+    if n_dropped:
+        log.warning("simhash_dedup: dropping %d over-full buckets (> %d ids)",
+                    n_dropped, max_bucket)
+    pairs = (grouped.filter(F.col("bucket_size") <= max_bucket)
+             .select(F.explode(F.expr(
         "flatten(transform(ids, (x, i) -> "
         "transform(slice(ids, i + 2, size(ids)), y -> struct(x as id_a, y as id_b))))"))
         .alias("p")).select("p.id_a", "p.id_b").distinct())
     a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
-    return (pairs.join(a, "id_a").join(b, "id_b")
-            .withColumn("hamming", hamming64(F.col("sig_a"), F.col("sig_b")))
-            .filter(F.col("hamming") <= max_hamming)
-            .select("id_a", "id_b", "hamming"))
+    out = (pairs.join(a, "id_a").join(b, "id_b")
+           .withColumn("hamming", hamming64(F.col("sig_a"), F.col("sig_b")))
+           .filter(F.col("hamming") <= max_hamming)
+           .select("id_a", "id_b", "hamming")
+           .persist())
+    out.count()  # materialize (small), release the upstream caches
+    grouped.unpersist()
+    sigs.unpersist()
+    return out

@@ -20,8 +20,7 @@ import re
 from pyspark.sql import Column, DataFrame, functions as F
 
 
-def tag_pattern_to_regex(pattern: str) -> str:
-    """Compile one fluentd tag glob to an anchored Java/RE2-safe regex."""
+def _glob_fragment(pattern: str) -> str:
     out = []
     i = 0
     while i < len(pattern):
@@ -39,13 +38,20 @@ def tag_pattern_to_regex(pattern: str) -> str:
             i += 1
         elif c == "{":
             j = pattern.index("}", i)
+            # alternatives are themselves glob patterns (fluentd allows
+            # wildcards inside braces, e.g. 'a.{b.*,c.**}')
             alts = pattern[i + 1:j].split(",")
-            out.append("(" + "|".join(re.escape(a) for a in alts) + ")")
+            out.append("(" + "|".join(_glob_fragment(a) for a in alts) + ")")
             i = j + 1
         else:
             out.append(re.escape(c))
             i += 1
-    return "^" + "".join(out) + "$"
+    return "".join(out)
+
+
+def tag_pattern_to_regex(pattern: str) -> str:
+    """Compile one fluentd tag glob to an anchored Java/RE2-safe regex."""
+    return "^" + _glob_fragment(pattern) + "$"
 
 
 def tag_matches(tag: Column, pattern: str) -> Column:

@@ -87,11 +87,27 @@ class GeoipEnricher:
         for ph in comp.placeholders:
             ph_cols[ph.text] = self._placeholder_column(ph, geo_cols)
 
-        # 3) skip_adding_null_record: first placeholder nil → row untouched
+        # 3) skip_adding_null_record (rb:122-123): the reference checks
+        # `placeholder.values.first.nil?` where create_placeholder only
+        # INSERTS entries whose lookup key geodata hit (rb:191) — i.e. the
+        # value of the first SURVIVING placeholder, not the first positional
+        # one. Spark form: pick the first placeholder whose lookup hit (a
+        # when-chain in placeholder order); no hit anywhere, or that value
+        # nil → skip.
         skip_cond = None
         if cfg.skip_adding_null_record and comp.placeholders:
-            first_col, _ = ph_cols[comp.placeholders[0].text]
-            skip_cond = first_col.isNull()
+            prev_no_hit = F.lit(True)   # no surviving placeholder seen yet
+            terms = []                  # "i is the first survivor and nil"
+            for ph in comp.placeholders:
+                if ph.record_key not in geo_cols:
+                    continue  # never inserted (geodata lacks the key, rb:191)
+                hit = F.col(geo_cols[ph.record_key]).getField("__hit__")
+                val, _ = ph_cols[ph.text]
+                terms.append(prev_no_hit & hit & val.isNull())
+                prev_no_hit = prev_no_hit & ~hit
+            skip_cond = prev_no_hit  # nothing survived → placeholder {} → skip
+            for t in terms:
+                skip_cond = skip_cond | t
 
         # 4) add_geoip_field: evaluate templates in directive order
         out: dict[str, Column] = {}

@@ -71,6 +71,7 @@ def route_and_write(
     resume: bool = False,
     fmt: str | None = None,
     stat_cols: tuple[str, ...] = (),
+    key_col: str = "url",
 ) -> tuple[dict, list]:
     """Fan the DataFrame out to ``out_dir/<route_col>=<value>/`` sinks.
 
@@ -81,13 +82,17 @@ def route_and_write(
     """
     spark = df.sparkSession
     fmt = resolve_sink_format(spark, fmt)
+    if key_col not in df.columns:
+        # salt/checksum key: any stable per-row column works; fall back to
+        # the route key itself (weaker salt) rather than failing
+        key_col = route_col
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     done: dict[str, dict] = read_manifest(out_dir) if resume else {}
     if done:
         df = df.filter(~F.col(route_col).isin(list(done.keys())))
 
-    salt = F.pmod(F.xxhash64(F.col("url")), F.lit(salt_buckets))
+    salt = F.pmod(F.xxhash64(F.col(key_col)), F.lit(salt_buckets))
     n = num_partitions or spark.sparkContext.defaultParallelism
     routed = df.repartition(n, F.col(route_col), salt)
 
@@ -105,7 +110,7 @@ def route_and_write(
     stats = (
         written.groupBy(route_col, *stat_cols)
         .agg(F.count("*").alias("rows"),
-             F.sum(F.crc32(F.col("url").cast("binary")) % F.lit(1 << 31))
+             F.sum(F.crc32(F.col(key_col).cast("binary")) % F.lit(1 << 31))
               .alias("checksum"))
         .collect())
     manifest = dict(done)

@@ -2,7 +2,9 @@
 
 The reference filter is stateless (SURVEY.md §2.7), but a log pipeline at
 scale wants session rollups (visits per client_ip with an inactivity gap).
-Two implementations, batch and streaming, with identical semantics:
+Two implementations, batch and streaming, with identical semantics for
+in-order arrivals (cross-batch late events are absorbed into the open
+session rather than re-opening closed ones — see ``make_session_fn``):
 
 - batch: the classic lag/cumsum window formulation (pure Catalyst)
 - streaming: ``applyInPandasWithState`` keeping an open session per client
@@ -88,6 +90,16 @@ def make_session_fn(gap_minutes: int = 30):
             start_ts, last_ts, n = ts[0], ts[0], 0
         closed = []
         for t in ts:
+            if t <= last_ts:
+                # cross-batch late/duplicate event: absorb into the open
+                # session without moving last_ts backwards (a regressed
+                # last_ts would spuriously split on the next event and emit
+                # a wrong session_end). Approximation vs batch semantics:
+                # a late event older than the open session's start extends
+                # it backwards instead of reopening a closed session.
+                start_ts = min(start_ts, t)
+                n += 1
+                continue
             if t - last_ts > gap:
                 closed.append((start_ts, last_ts, n))
                 start_ts, n = t, 0

@@ -60,18 +60,34 @@ def start_pipeline_stream(
     stream = read_pages_stream(spark, source_dir)
     enriched = pipe.enrich(stream)
 
+    handle_batch = make_batch_handler(out_dir, salt_buckets)
+    query = (enriched.writeStream
+             .foreachBatch(handle_batch)
+             .option("checkpointLocation", checkpoint_dir)
+             .outputMode("append")
+             .start())
+    return query
+
+
+def make_batch_handler(out_dir: str, salt_buckets: int = 8):
+    """foreachBatch handler with true replay idempotency: every micro-batch
+    writes under ``batch_id=<n>/route_country=<c>/`` with DYNAMIC partition
+    OVERWRITE, so a re-delivered batch (crash between the sink write and the
+    checkpoint commit) replaces exactly its own partitions instead of
+    appending a duplicate copy. Exposed standalone so replay can be tested
+    by invoking it twice with the same batch id."""
     lineage_dir = os.path.join(out_dir, "_lineage", "batches")
     os.makedirs(lineage_dir, exist_ok=True)
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         salt = F.pmod(F.xxhash64(F.col("url")), F.lit(salt_buckets))
-        n = batch_df.sparkSession.sparkContext.defaultParallelism
-        routed = batch_df.repartition(n, F.col("route_country"), salt)
-        # batch-id-suffixed files under each partition dir → re-running the
-        # same batch replaces its own output (idempotent under retry)
-        (routed.write.mode("append")
-            .partitionBy("route_country")
-            .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+        n = spark.sparkContext.defaultParallelism
+        routed = (batch_df.withColumn("batch_id", F.lit(batch_id))
+                  .repartition(n, F.col("route_country"), salt))
+        (routed.write.mode("overwrite")
+            .partitionBy("batch_id", "route_country")
             .parquet(os.path.join(out_dir, "data")))
         stats = (batch_df.groupBy("route_country")
                  .agg(F.count("*").alias("rows")).collect())
@@ -80,12 +96,7 @@ def start_pipeline_stream(
                        "sinks": {r["route_country"]: r["rows"] for r in stats}},
                       f, sort_keys=True)
 
-    query = (enriched.writeStream
-             .foreachBatch(handle_batch)
-             .option("checkpointLocation", checkpoint_dir)
-             .outputMode("append")
-             .start())
-    return query
+    return handle_batch
 
 
 def start_windowed_counts_stream(
@@ -95,18 +106,29 @@ def start_windowed_counts_stream(
     window: str = "10 minutes",
     watermark: str = "30 minutes",
     queryName: str = "geoip_counts",
+    output_mode: str = "complete",
 ):
-    """Live per-window/country/lang rollup with late-data watermarking —
-    the streaming form of the A1 aggregate (in-memory sink for inspection)."""
+    """Live per-window/country/lang rollup — the streaming form of the A1
+    aggregate (in-memory sink for inspection).
+
+    Two coherent modes (a watermark does nothing in complete mode — state is
+    retained forever to re-emit the full result, so pairing them would be a
+    lie):
+    - ``complete``: full table every trigger, NO watermark. Only for bounded
+      key cardinality (window × country × lang here is bounded per day).
+    - ``append``: watermark-evicted state, emits each window once it is
+      final — the unbounded-runtime configuration.
+    """
     pipe = GeoipPipeline(spark)
     stream = read_pages_stream(spark, source_dir)
     enriched = pipe.enrich(stream)
+    if output_mode == "append":
+        enriched = enriched.withWatermark("warc_ts", watermark)
     agg = (enriched
-           .withWatermark("warc_ts", watermark)
            .groupBy(F.window("warc_ts", window),
                     F.col("route_country"), F.col("lang"))
            .agg(F.count("*").alias("n")))
-    return (agg.writeStream.outputMode("complete")
+    return (agg.writeStream.outputMode(output_mode)
             .format("memory").queryName(queryName)
             .option("checkpointLocation", checkpoint_dir)
             .start())

@@ -119,8 +119,10 @@ class RefGeoipFilter:
                    for k, ip in self._get_address(record).items()}
         placeholder = self._placeholders(geodata)
         if self.skip:
-            first = (placeholder.get(self.placeholder_keys[0])
-                     if self.placeholder_keys else None)
+            # Ruby: `placeholder.values.first.nil?` — the first INSERTED
+            # entry (create_placeholder skips missed lookups entirely), not
+            # the first positional placeholder key.
+            first = next(iter(placeholder.values()), None)
             if first is None:
                 return record
         for out_key, value in self.map.items():

@@ -40,3 +40,12 @@ def test_filter_and_dispatch(spark):
                                  ("**", "catchall")])
     got = {r.v: r.route for r in routed.collect()}
     assert got == {1: "apache", 2: "access_other", 3: "catchall", 4: "catchall"}
+
+
+@pytest.mark.parametrize("pattern,tag,expected", [
+    ("a.{b.*,c.**}", "a.b.x", True),     # globs inside braces
+    ("a.{b.*,c.**}", "a.c.x.y", True),
+    ("a.{b.*,c.**}", "a.d.x", False),
+])
+def test_brace_glob_alternatives(pattern, tag, expected):
+    assert bool(re.match(tag_pattern_to_regex(pattern), tag)) is expected

@@ -360,3 +360,39 @@ def test_fast_float_str_parity(spark):
     out = run(spark, cfg, [("66.102.3.80",), ("203.0.113.1",)], schema)
     assert out[0]["float_concat"] == "37.419200000000004,-122.0574"
     assert out[1]["float_concat"] == ","
+
+
+def test_skip_null_record_first_surviving_placeholder(spark):
+    """rb:122-123 + rb:191: the skip check reads the first placeholder whose
+    lookup HIT (create_placeholder only inserts survivors) — a miss on the
+    first lookup key must NOT skip the row when a later key hits."""
+    cfg = GeoipConfig(
+        lookup_keys=["h1", "h2"],
+        records={"a": "${city.names.en['h1']}", "b": "${city.names.en['h2']}"},
+        skip_adding_null_record=True)
+    schema = T.StructType([T.StructField("h1", S), T.StructField("h2", S)])
+    out = run(spark, cfg, [
+        ("0", "66.102.3.80"),          # h1 miss, h2 hit → NOT skipped
+        ("0", "203.0.113.1"),          # both miss → skipped
+        ("180.94.85.84", "66.102.3.80"),  # h1 hit but city nil → skipped
+        ("66.102.3.80", "0"),          # h1 hit with city → not skipped
+    ], schema)
+    assert out[0][SKIP_FLAG] is False
+    assert out[0]["a"] is None and out[0]["b"] == "Mountain View"
+    assert out[1][SKIP_FLAG] is True
+    assert out[2][SKIP_FLAG] is True
+    assert out[3][SKIP_FLAG] is False and out[3]["a"] == "Mountain View"
+
+
+def test_skip_null_record_unknown_first_key(spark):
+    """A placeholder on an unknown record key is never inserted into the
+    placeholder hash — it must not poison the skip check."""
+    cfg = GeoipConfig(
+        lookup_keys=["host"],
+        records={"u": "${city.names.en['nope']}",
+                 "c": "${city.names.en['host']}"},
+        skip_adding_null_record=True)
+    schema = T.StructType([T.StructField("host", S)])
+    out = run(spark, cfg, [("66.102.3.80",), ("203.0.113.1",)], schema)
+    assert out[0][SKIP_FLAG] is False and out[0]["c"] == "Mountain View"
+    assert out[1][SKIP_FLAG] is True

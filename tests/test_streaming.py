@@ -130,3 +130,20 @@ def test_sessionize_stream_closes_gapped_sessions(spark, tmp_path):
     q.stop()
     # closed-by-gap sessions are emitted; still-open tails await timeout
     assert got == expected
+
+
+def test_foreach_batch_replay_is_idempotent(spark, tmp_path):
+    """Crash between sink write and checkpoint commit re-delivers a batch;
+    the batch-id-keyed dynamic overwrite must replace, not duplicate."""
+    from fluent_plugin_geoip_spark.plans.pipeline import GeoipPipeline
+    from fluent_plugin_geoip_spark.streaming.stream import make_batch_handler
+    out = str(tmp_path / "sink")
+    pages = generate_pages(spark, 500)
+    enriched = GeoipPipeline(spark).enrich(pages)
+    handler = make_batch_handler(out, salt_buckets=4)
+    handler(enriched, 0)
+    first = spark.read.parquet(f"{out}/data").count()
+    handler(enriched, 0)  # replay of the same batch
+    assert spark.read.parquet(f"{out}/data").count() == first == 500
+    handler(enriched, 1)  # a genuinely new batch appends
+    assert spark.read.parquet(f"{out}/data").count() == 1000
