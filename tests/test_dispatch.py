@@ -49,3 +49,17 @@ def test_filter_and_dispatch(spark):
 ])
 def test_brace_glob_alternatives(pattern, tag, expected):
     assert bool(re.match(tag_pattern_to_regex(pattern), tag)) is expected
+
+
+def test_inject_metadata(spark):
+    import socket
+    from pyspark.sql import functions as F
+    from fluent_plugin_geoip_spark.operators.inject import inject_metadata
+    df = spark.createDataFrame([("x", "2024-01-01 12:00:00")], "v string, ts string") \
+              .withColumn("warc_ts", F.to_timestamp("ts"))
+    out = inject_metadata(df, tag="input.access", time_col="warc_ts",
+                          hostname_key="hostname",
+                          time_format="yyyy-MM-dd HH:mm:ss").first()
+    assert out.tag == "input.access"
+    assert out.time == "2024-01-01 12:00:00"
+    assert out.hostname == socket.gethostname()
