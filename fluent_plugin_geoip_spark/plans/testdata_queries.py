@@ -478,6 +478,39 @@ WHERE rank <= 3
 """
 
 
+# ---------------------------------------------------------------------------
+# Non-SQL-expressible operators — queries() entries WITHOUT oracle_sql()
+# (the driver records a rows-only check; deterministic by construction)
+# ---------------------------------------------------------------------------
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_lsh_dedup
+    d = _documents(spark, sf_dir)
+    return (minhash_lsh_dedup(d, threshold=0.8)
+            .select("id_a", "id_b").orderBy("id_a", "id_b"))
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash_dedup
+    d = _documents(spark, sf_dir)
+    return (simhash_dedup(d, max_hamming=3)
+            .select("id_a", "id_b", "hamming").orderBy("id_a", "id_b"))
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import lsh_topk
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 10)
+    return lsh_topk(e, q, k=5, nbits=8, n_tables=4) \
+        .select("query_id", "neighbor_id", "rank")
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import extract_image_features, generate_media
+    media = generate_media(spark, 500)
+    return extract_image_features(media, fake=True).select("media_id", "phash")
+
+
 QUERIES = {
     "geoip_enrich_country_counts": q_geoip_enrich_country_counts,
     "geoip_enrich_values": q_geoip_enrich_values,
@@ -496,6 +529,11 @@ QUERIES = {
     "embedding_topk": q_embedding_topk,
     "sessionize_events": q_sessionize_events,
     "topk_per_group": q_topk_per_group,
+    # rows-only (non-SQL-expressible; no ORACLES entry)
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "multimodal_features": q_multimodal_features,
 }
 
 ORACLES = {
