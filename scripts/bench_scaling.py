@@ -74,6 +74,35 @@ print(json.dumps({{"sec": best, "rows_per_sec": n / best}}))
 """
 
 
+_SPIN = ("import time\nt0=time.perf_counter()\nx=0\n"
+         "for i in range(30_000_000): x+=i*i\n")
+
+
+def hardware_ceiling(base: int, big: int, reps: int = 2) -> dict:
+    """Aggregate pure-ALU throughput of N pinned spin processes on N cores vs
+    4N on 4N — the VM's own scaling ceiling (virtualized hosts throttle
+    clocks under full load; measured ~3.0× for 8→32 on this sandbox, so no
+    job can show a raw 4.0×). Efficiency is reported both raw and normalized
+    by this ceiling."""
+    import time as _t
+
+    def agg(cores: int) -> float:
+        best = 0.0
+        for _ in range(reps):
+            t0 = _t.time()
+            ps = [subprocess.Popen(
+                ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c", _SPIN],
+                stdout=subprocess.DEVNULL) for _ in range(cores)]
+            for p in ps:
+                p.wait()
+            best = max(best, cores / (_t.time() - t0))
+        return best
+
+    a, b = agg(base), agg(big)
+    return {"agg_base": round(a, 3), "agg_big": round(b, 3),
+            "hw_speedup": round(b / a, 3)}
+
+
 def run_level(cpus: int, n: int, mode: str) -> dict:
     workdir = tempfile.mkdtemp(dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
                                prefix=f"geoip_scale_{cpus}_")
@@ -92,23 +121,28 @@ def main() -> None:
     base = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     mult = int(sys.argv[3]) if len(sys.argv) > 3 else 4
     big = base * mult
-    result: dict = {"rows": n, "cores": [base, big]}
+    hw = hardware_ceiling(base, big)
+    result: dict = {"rows": n, "cores": [base, big], "hardware": hw}
     for mode in ("full", "compute"):
         lo = run_level(base, n, mode)
         hi = run_level(big, n, mode)
-        eff = (hi["rows_per_sec"] / lo["rows_per_sec"]) / mult
+        speedup = hi["rows_per_sec"] / lo["rows_per_sec"]
         result[mode] = {
             f"rows_per_sec_local{base}": round(lo["rows_per_sec"], 1),
             f"rows_per_sec_local{big}": round(hi["rows_per_sec"], 1),
-            "speedup": round(hi["rows_per_sec"] / lo["rows_per_sec"], 3),
-            "scaling_efficiency": round(eff, 3),
+            "speedup": round(speedup, 3),
+            "scaling_efficiency_raw": round(speedup / mult, 3),
+            # vs what the box itself can do for pure CPU at these levels
+            "scaling_efficiency_vs_hw_ceiling": round(
+                speedup / hw["hw_speedup"], 3),
         }
     print(json.dumps(result))
     for mode in ("full", "compute"):
         r = result[mode]
         print(f"| {mode} | {n:,} | {r[f'rows_per_sec_local{base}']:,.0f} | "
               f"{r[f'rows_per_sec_local{big}']:,.0f} | {r['speedup']:.2f}x | "
-              f"{r['scaling_efficiency']:.2f} |")
+              f"{r['scaling_efficiency_raw']:.2f} | "
+              f"{r['scaling_efficiency_vs_hw_ceiling']:.2f} |")
 
 
 if __name__ == "__main__":
