@@ -18,8 +18,10 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, functions as F
 
-# space-only trim: matches the JVM path (F.trim strips spaces, not tabs)
-_OCTET_RE = r"^ *(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3}) *$"
+# strict grammar: the reference hands the RAW string to the backend
+# (filter_geoip.rb:175-179), where any surrounding whitespace fails the
+# parse and yields a miss — so no trimming here either.
+_OCTET_RE = r"^(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})$"
 
 
 def ipv4_str_to_long(col: Column) -> Column:
@@ -28,13 +30,13 @@ def ipv4_str_to_long(col: Column) -> Column:
     Scale note: this keeps the hot parse on the JVM side so the Python stage
     of the lookup kernel receives an 8-byte long per row instead of a string
     — less Arrow traffic and no per-batch pandas regex. Semantics match
-    ``ipv4_to_uint32`` (surrounding whitespace tolerated, octets ≤ 255,
-    anything else → null → miss).
+    ``ipv4_to_uint32`` (strict grammar: octets ≤ 255, no surrounding
+    whitespace — padded addresses are a miss, as when the reference hands
+    the raw string to the backend, filter_geoip.rb:175-179).
     """
-    t = F.trim(col)
-    p = F.split(t, r"\.")
+    p = F.split(col, r"\.")
     o = [F.element_at(p, i + 1).cast("long") for i in range(4)]
-    valid = t.rlike(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$")
+    valid = col.rlike(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$")
     for oc in o:
         valid = valid & (oc <= 255)
     return F.when(

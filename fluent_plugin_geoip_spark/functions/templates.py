@@ -24,6 +24,7 @@ the two provably agree.
 from __future__ import annotations
 
 import json
+import logging
 import re
 
 import pandas as pd
@@ -34,6 +35,8 @@ from ..config import (
     is_json_template,
 )
 
+log = logging.getLogger(__name__)
+
 _SPARK_TYPES = {
     "string": T.StringType(),
     "double": T.DoubleType(),
@@ -43,11 +46,36 @@ _SPARK_TYPES = {
 }
 
 
+def _ruby_float_repr(v: float) -> str:
+    """Ruby ``Float#to_s`` of one double.
+
+    Python ``repr`` and Ruby ``flo_to_s`` pick the same shortest-roundtrip
+    digits and switch to scientific notation at the same decimal exponents
+    (≥ 1e16, < 1e-4), but Ruby always keeps a fractional mantissa in the
+    exponent form: ``1.0e+16`` / ``1.0e-05`` where Python prints ``1e+16`` /
+    ``1e-05``. Ruby also spells the specials ``Infinity``/``NaN``.
+    """
+    if v != v:
+        return "NaN"
+    if v == float("inf"):
+        return "Infinity"
+    if v == float("-inf"):
+        return "-Infinity"
+    s = repr(v)
+    if "e" in s:
+        mant, exp = s.split("e")
+        if "." not in mant:
+            mant += ".0"
+        s = mant + "e" + exp
+    return s
+
+
 @F.pandas_udf(T.StringType())
 def ruby_double_str(s: pd.Series) -> pd.Series:
-    """Ruby Float#to_s parity: shortest roundtrip repr; nil → '' (mode-3 rule,
-    filter_geoip.rb:134 — gsub hash miss stringifies nil to empty)."""
-    return s.map(lambda v: "" if pd.isna(v) else repr(float(v)))
+    """Ruby Float#to_s parity: shortest roundtrip repr incl. the exponent-form
+    corners; nil → '' (mode-3 rule, filter_geoip.rb:134 — gsub hash miss
+    stringifies nil to empty)."""
+    return s.map(lambda v: "" if pd.isna(v) else _ruby_float_repr(float(v)))
 
 
 def typed_null(dtype: str) -> Column:
@@ -151,8 +179,12 @@ def _unify_dtypes(dtypes: list[str], context) -> str:
         return "double" if "double" in concrete else "long"
     if len(concrete) == 1:
         return concrete.pop()
-    raise GeoipConfigError(
-        f"mixed-type JSON array not representable as a Spark array: {context!r}")
+    # Ruby emits heterogeneous JSON arrays as-is; a Spark array is
+    # single-typed, so the closest faithful representation is
+    # everything-as-string (documented divergence: numerics are stringified).
+    log.warning("mixed-type JSON array template %r: falling back to "
+                "array<string> (Ruby would keep heterogeneous types)", context)
+    return "string"
 
 
 # ---------------------------------------------------------------------------

@@ -43,7 +43,15 @@ def world_ranges_values_sql(alias: str = "r") -> str:
 
 
 def _ip_int_expr(col: str):
-    return (F.col(col) * F.lit(_MIX)) % F.lit(_M32)
+    # (col * MIX) % 2^32 without int64 overflow: Spark wraps silently while
+    # DuckDB promotes to HUGEINT, so a plain multiply diverges once
+    # col ≳ 3.5e9. Split the multiplicand into 16-bit halves and reduce
+    # mod 2^32 at every step — all intermediates stay < 2^48.
+    c = F.pmod(F.col(col), F.lit(_M32))          # only col mod 2^32 matters
+    lo = c.bitwiseAND(F.lit(0xFFFF))             # ≤ 2^16 → lo*MIX < 2^48
+    hi = F.shiftright(c, 16)                     # ≤ 2^16 → hi*MIX < 2^48
+    return F.pmod(lo * F.lit(_MIX) + F.pmod(hi * F.lit(_MIX), F.lit(_M32)) * F.lit(1 << 16),
+                  F.lit(_M32))
 
 
 def _ip_str(ip_int):

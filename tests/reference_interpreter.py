@@ -29,7 +29,21 @@ def ruby_to_s(v) -> str:
     if v is None:
         return ""
     if isinstance(v, float):
-        return repr(v)
+        # Ruby flo_to_s: same shortest-roundtrip digits and sci-notation
+        # thresholds as Python repr, but the exponent form always carries a
+        # fractional mantissa ("1.0e+16", "1.0e-05") and specials are spelled
+        # Infinity/NaN.
+        if v != v:
+            return "NaN"
+        if v in (float("inf"), float("-inf")):
+            return "Infinity" if v > 0 else "-Infinity"
+        s = repr(v)
+        if "e" in s:
+            mant, exp = s.split("e")
+            if "." not in mant:
+                mant += ".0"
+            s = mant + "e" + exp
+        return s
     if isinstance(v, bool):
         return "true" if v else "false"
     return str(v)
@@ -65,7 +79,7 @@ class RefGeoipFilter:
     def _lookup(self, ip):
         if ip is None or ip == "":
             return None
-        m = re.match(r"^\s*(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})\s*$",
+        m = re.match(r"^(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})$",
                      str(ip))
         if not m:
             return None

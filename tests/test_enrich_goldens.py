@@ -396,3 +396,34 @@ def test_skip_null_record_unknown_first_key(spark):
     out = run(spark, cfg, [("66.102.3.80",), ("203.0.113.1",)], schema)
     assert out[0][SKIP_FLAG] is False and out[0]["c"] == "Mountain View"
     assert out[1][SKIP_FLAG] is True
+
+
+def test_ruby_float_repr_exponent_corners():
+    """Ruby Float#to_s golden values — exponent form keeps a '.0' mantissa
+    and specials are Infinity/NaN (divergence flagged in round-1 ADVICE)."""
+    from fluent_plugin_geoip_spark.functions.templates import _ruby_float_repr
+    assert _ruby_float_repr(1e16) == "1.0e+16"
+    assert _ruby_float_repr(-1e16) == "-1.0e+16"
+    assert _ruby_float_repr(1e-5) == "1.0e-05"
+    assert _ruby_float_repr(1.5e-7) == "1.5e-07"
+    assert _ruby_float_repr(1e100) == "1.0e+100"
+    # fixed-notation side of the thresholds (same as Python repr)
+    assert _ruby_float_repr(1e15) == "1000000000000000.0"
+    assert _ruby_float_repr(1e-4) == "0.0001"
+    assert _ruby_float_repr(37.419200000000004) == "37.419200000000004"
+    assert _ruby_float_repr(float("inf")) == "Infinity"
+    assert _ruby_float_repr(float("-inf")) == "-Infinity"
+    assert _ruby_float_repr(float("nan")) == "NaN"
+
+
+def test_mixed_type_array_template_falls_back_to_string(spark):
+    """Heterogeneous JSON array templates: Ruby would emit a mixed array;
+    Spark arrays are single-typed, so everything is stringified (documented
+    divergence — was a config-time error in round 1)."""
+    cfg = GeoipConfig(
+        lookup_keys=["host"],
+        records={"mixed": "[${city.names.en['host']}, ${location.latitude['host']}, 3]"})
+    schema = T.StructType([T.StructField("host", S)])
+    out = run(spark, cfg, [("66.102.3.80",), ("203.0.113.1",)], schema)
+    assert out[0]["mixed"] == ["Mountain View", "37.419200000000004", "3"]
+    assert out[1]["mixed"] == [None, None, "3"]

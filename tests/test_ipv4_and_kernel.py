@@ -21,10 +21,12 @@ def test_ipv4_parse_valid():
 
 def test_ipv4_parse_invalid():
     # reference semantics: '' warns+miss (rb:172-174); '0' invalid (test:199-209)
+    # padded addresses are misses too: the reference hands the RAW string to
+    # the backend (rb:175-179) where ' 8.8.8.8 ' does not parse
     s = pd.Series(["", "0", "1.2.3", "1.2.3.4.5", "256.1.1.1", None, "a.b.c.d",
-                   " 8.8.8.8 "])
+                   " 8.8.8.8 ", "\t8.8.8.8", "8.8.8.8"])
     vals, valid = ipv4_to_uint32(s)
-    assert list(valid) == [False, False, False, False, False, False, False, True]
+    assert list(valid) == [False] * 9 + [True]
 
 
 def test_ipv4_empty_series():
