@@ -25,13 +25,53 @@ Scale design:
 from __future__ import annotations
 
 import json
+import logging
 import os
 import time
 
 from pyspark.sql import DataFrame, functions as F
 
+log = logging.getLogger(__name__)
+
 UNROUTED = "__unrouted__"
 MANIFEST_DIR = "_lineage"
+
+
+def list_partition_values(spark, out_dir: str, route_col: str) -> list[str]:
+    """Partition values present on disk, via the Hadoop FS API so it works on
+    any scheme Spark can reach (file://, hdfs://, s3a://). Driver-side
+    metadata listing only — no data is read. Route values here are country
+    codes / ``__unrouted__``; Spark's partition-dir escaping never triggers.
+    """
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(out_dir)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return []
+    vals = []
+    for st in fs.listStatus(path):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith(route_col + "="):
+            vals.append(name.split("=", 1)[1])
+    return sorted(vals)
+
+
+def _clean_stale_output(spark, out_dir: str, route_col: str,
+                        stale_vals: list[str]) -> None:
+    """Remove partition dirs + manifest left by a previous run. A
+    ``resume=False`` run means "the sink reflects exactly this input" — with
+    dynamic partition overwrite alone, partitions whose key is absent from
+    the new input would silently survive and poison downstream readers and
+    the lineage stats (round-1 ADVICE, medium)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    for v in stale_vals:
+        p = jvm.org.apache.hadoop.fs.Path(f"{out_dir}/{route_col}={v}")
+        p.getFileSystem(conf).delete(p, True)
+    mp = jvm.org.apache.hadoop.fs.Path(manifest_path(out_dir))
+    fs = mp.getFileSystem(conf)
+    if fs.exists(mp):
+        fs.delete(mp, False)
 
 
 def iceberg_available(spark) -> bool:
@@ -77,8 +117,12 @@ def route_and_write(
 
     Returns ``(manifest, stats_rows)`` where the manifest maps partition
     value → {"rows", "checksum", "completed_at"} and ``stats_rows`` is the
-    collected per-(route_col, *stat_cols) lineage aggregate — callers reuse
-    it for rollups instead of issuing a second scan.
+    collected per-(route_col, *stat_cols) lineage aggregate over the
+    partitions written THIS RUN — callers reuse it for rollups instead of
+    issuing a second scan. The audit read-back is partition-pruned to this
+    run's partition values, so a resumed re-run never rescans completed
+    partitions and the audit cost stays proportional to the new data, not to
+    the sink's total history.
     """
     spark = df.sparkSession
     fmt = resolve_sink_format(spark, fmt)
@@ -88,7 +132,15 @@ def route_and_write(
         key_col = route_col
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
+    pre_existing = list_partition_values(spark, out_dir, route_col)
     done: dict[str, dict] = read_manifest(out_dir) if resume else {}
+    if not resume and pre_existing:
+        log.warning(
+            "route_and_write: out_dir %s holds %d partition dirs from a "
+            "previous run; cleaning them (resume=False means the sink "
+            "reflects exactly this input — pass resume=True to keep "
+            "completed partitions)", out_dir, len(pre_existing))
+        _clean_stale_output(spark, out_dir, route_col, pre_existing)
     if done:
         df = df.filter(~F.col(route_col).isin(list(done.keys())))
 
@@ -99,14 +151,18 @@ def route_and_write(
     (routed.write.mode("overwrite").partitionBy(route_col).format(fmt)
         .save(out_dir))
 
-    # lineage accounting: ONE column-pruned aggregate over the written files
-    # (attests what is actually on disk, unlike pre-write counters).
-    try:
-        written = spark.read.format(fmt).load(out_dir)
-    except Exception:
-        # nothing was ever written (empty input / all partitions resumed)
+    # lineage accounting: ONE column-pruned aggregate over the files written
+    # THIS RUN (attests what is actually on disk, unlike pre-write counters;
+    # the isin filter on the partition column prunes completed partitions at
+    # the source listing, so the audit never grows with sink history).
+    new_vals = [v for v in list_partition_values(spark, out_dir, route_col)
+                if v not in done]
+    if not new_vals:
+        # nothing was written (empty input / all partitions resumed)
         write_manifest(out_dir, done)
         return dict(done), []
+    written = (spark.read.format(fmt).load(out_dir)
+               .filter(F.col(route_col).isin(new_vals)))
     stats = (
         written.groupBy(route_col, *stat_cols)
         .agg(F.count("*").alias("rows"),
@@ -116,8 +172,6 @@ def route_and_write(
     manifest = dict(done)
     for r in stats:
         key = r[route_col]
-        if key in done:
-            continue
         ent = manifest.setdefault(
             key, {"rows": 0, "checksum": 0, "completed_at": int(time.time())})
         ent["rows"] += r["rows"]

@@ -171,3 +171,45 @@ def test_input_lineage_recorded(spark, pages_dir, tmp_path):
     inputs = read_input_lineage(out)
     assert inputs and all(pages_dir.split("/")[-1] in p or "pages" in p
                           for p in inputs)
+
+
+def test_non_resume_cleans_stale_partitions(spark, pages_dir, tmp_path):
+    """resume=False into a non-empty sink must not leave partitions from a
+    previous run on disk or in the manifest (round-1 ADVICE, medium)."""
+    pages = spark.read.parquet(pages_dir)
+    out = str(tmp_path / "routed")
+    pipe = GeoipPipeline(spark)
+    pipe.run(pages, out_dir=out)
+    # fake a partition left behind by an earlier run over different input
+    spark.createDataFrame([("stale", "en", "x")],
+                          "url string, lang string, text string") \
+        .write.parquet(f"{out}/route_country=ZZ")
+    res = pipe.run(pages, out_dir=out)  # resume=False: clean rebuild
+    assert not os.path.exists(f"{out}/route_country=ZZ")
+    assert "ZZ" not in res.manifest
+    assert sum(v["rows"] for v in res.manifest.values()) == N
+    assert spark.read.parquet(out).count() == N
+
+
+def test_resume_audit_is_partition_pruned(spark, pages_dir, tmp_path):
+    """The post-write lineage audit must scan only partitions written this
+    run: stats cover no completed partition, and the pruning mechanism (an
+    isin filter on the partition column) reaches the source as a
+    PartitionFilter, not a post-scan filter."""
+    from fluent_plugin_geoip_spark.operators.route import route_and_write
+    pages = spark.read.parquet(pages_dir)
+    out = str(tmp_path / "routed")
+    pipe = GeoipPipeline(spark)
+    first = pipe.run(pages, out_dir=out)
+    done = {k: v for k, v in first.manifest.items() if k not in ("FR",)}
+    write_manifest(out, done)
+    enriched = pipe.enrich(pages)
+    manifest, stats = route_and_write(enriched.drop("access"), out,
+                                      resume=True, stat_cols=("lang",))
+    assert {r["route_country"] for r in stats} == {"FR"}
+    assert manifest["US"]["completed_at"] == done["US"]["completed_at"]
+    # the audit read prunes at the file-source partition level
+    plan = spark.read.parquet(out).filter(
+        F.col("route_country").isin(["FR"]))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "PartitionFilters" in plan and "FR" in plan.split("PartitionFilters")[1][:200]
