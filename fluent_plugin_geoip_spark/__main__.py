@@ -11,7 +11,7 @@ or run the module directly on a cluster/locally:
     spark-submit --py-files dist/fluent_plugin_geoip_spark.zip \
         -m fluent_plugin_geoip_spark  (PySpark ≥3.4: use a thin job.py wrapper)
 
-Arguments:
+Arguments (run):
     --input DIR       parquet pages input (url, warc_ts, html, text, lang);
                       omit to generate --rows synthetic pages
     --output DIR      routed per-country sink root (fan-out + lineage)
@@ -19,6 +19,13 @@ Arguments:
     --resume          skip partitions already recorded in the lineage manifest
     --streaming       treat --input as a stream source (checkpointed)
     --checkpoint DIR  checkpoint dir for --streaming
+
+Subcommand ``dump`` (counterpart of the reference's utils/dump.rb:18-27 —
+print the raw per-backend lookup document for one or more IPs; driver-side
+only, no Spark session):
+
+    python -m fluent_plugin_geoip_spark dump [--mmdb PATH] \\
+        [--backend geoip2_c|geoip2_compat] 66.102.3.80 ...
 """
 
 from __future__ import annotations
@@ -30,7 +37,34 @@ import sys
 from pyspark.sql import SparkSession
 
 
+def dump_main(argv: list[str]) -> int:
+    p = argparse.ArgumentParser(prog="fluent_plugin_geoip_spark dump")
+    p.add_argument("ips", nargs="+", metavar="IP")
+    p.add_argument("--mmdb", help=".mmdb path (default: bundled fixture DB)")
+    p.add_argument("--backend", default="geoip2_c",
+                   choices=["geoip2_c", "geoip2_compat"])
+    args = p.parse_args(argv)
+
+    from .operators.geolookup import GeoDatabase
+    if args.mmdb:
+        db = GeoDatabase.from_mmdb(args.mmdb, profile=args.backend)
+    else:
+        from .sources.fixtures import geoip2_city_db, geoip2_compat_db
+        db = (geoip2_city_db() if args.backend == "geoip2_c"
+              else geoip2_compat_db())
+    for ip in args.ips:
+        doc = db.lookup_doc(ip)
+        print(json.dumps({"ip": ip, "backend": args.backend, "record": doc},
+                         sort_keys=True))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if argv and argv[0] == "dump":
+        return dump_main(argv[1:])
+    if argv and argv[0] == "run":
+        argv = argv[1:]
     p = argparse.ArgumentParser(prog="fluent_plugin_geoip_spark")
     p.add_argument("--input")
     p.add_argument("--output", required=True)

@@ -122,6 +122,10 @@ class GeoipConfig:
     records: dict[str, str] = field(default_factory=dict)
     backend_library: str = "geoip2_c"
     skip_adding_null_record: bool = False
+    # Path to a real MaxMind .mmdb (the reference's primary config surface,
+    # filter_geoip.rb:41-43); loaded by GeoDatabase.from_mmdb when the
+    # enricher is built without an explicit database.
+    geoip2_database: str | None = None
     # Spark-only knob: use native double→string cast in interpolation mode
     # (fast, JVM-side) instead of the byte-exact Ruby-repr pandas UDF.
     fast_float_str: bool = False
@@ -146,7 +150,20 @@ class GeoipConfig:
             records=dict(conf.pop("records", {})),
             backend_library=conf.pop("backend_library", "geoip2_c"),
             skip_adding_null_record=bool(conf.pop("skip_adding_null_record", False)),
+            geoip2_database=conf.pop("geoip2_database", None),
         )
+
+    def load_database(self):
+        """Resolve the lookup database from config (``geoip2_database``
+        path → ``GeoDatabase.from_mmdb``), mirroring the reference's
+        load-at-configure (filter_geoip.rb:204-217)."""
+        from .operators.geolookup import GeoDatabase
+        if not self.geoip2_database:
+            raise GeoipConfigError(
+                "no database configured: set geoip2_database or pass a "
+                "GeoDatabase explicitly")
+        return GeoDatabase.from_mmdb(self.geoip2_database,
+                                     profile=self.backend_library)
 
     def validate(self) -> "CompiledConfig":
         return compile_config(self)

@@ -33,10 +33,13 @@ SKIP_FLAG = "geoip_skipped"
 class GeoipEnricher:
     """Compile once, apply to any DataFrame (batch or streaming)."""
 
-    def __init__(self, spark: SparkSession, config: GeoipConfig, database: GeoDatabase):
+    def __init__(self, spark: SparkSession, config: GeoipConfig,
+                 database: GeoDatabase | None = None):
         self.spark = spark
         self.config = config
-        self.db = database
+        # no explicit database → load the configured .mmdb path, mirroring
+        # the reference's load-at-configure (filter_geoip.rb:204-217)
+        self.db = database if database is not None else config.load_database()
         self.compiled: CompiledConfig = compile_config(config)
         # attrs needed per lookup key (common-subexpression reuse of the
         # reference's uniq placeholder dedup, rb:86).

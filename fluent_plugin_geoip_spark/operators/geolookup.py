@@ -49,6 +49,21 @@ _SPARK_TYPES = {
     "double": T.DoubleType(),
     "int": T.IntegerType(),
     "long": T.LongType(),
+    "boolean": T.BooleanType(),
+}
+
+# geoip2_compat's flat-key view of the nested GeoIP2 document — the mapping
+# the geoip2_compat gem applies (reference README.md:311-320 documents the
+# exposed keys; the nested sources are the standard GeoIP2 city paths).
+COMPAT_FROM_NESTED = {
+    "city": "city.names.en",
+    "country_code": "country.iso_code",
+    "country_name": "country.names.en",
+    "latitude": "location.latitude",
+    "longitude": "location.longitude",
+    "postal_code": "postal.code",
+    "region": "subdivisions.0.iso_code",
+    "region_name": "subdivisions.0.names.en",
 }
 
 
@@ -116,8 +131,85 @@ class GeoDatabase:
                 attrs[k] = np.array(vals, dtype=object)
         return cls(profile=profile, starts=starts, ends=ends, attrs=attrs, dtypes=dtypes)
 
+    @classmethod
+    def from_mmdb(cls, path: str, profile: str = "geoip2_c") -> "GeoDatabase":
+        """Load a real MaxMind database file (the reference's primary config
+        surface: ``geoip2_database``, filter_geoip.rb:41-43, 204-217).
+
+        The .mmdb tree is walked once on the driver into sorted IPv4 range
+        arrays (``sources.mmdb``, a from-scratch reader of the public spec);
+        nested docs flatten to the dot-path attrs the placeholder DSL digs.
+        ``profile='geoip2_compat'`` additionally applies the compat gem's
+        flat-key mapping. The legacy ``geoip`` backend reads GeoCityLite
+        .dat, a different format — not supported; use ``from_rows``.
+        """
+        from ..sources.mmdb import MMDBReader, flatten_doc
+        if profile == "geoip":
+            raise ValueError(
+                "the legacy 'geoip' backend reads GeoCityLite .dat files; "
+                ".mmdb loading supports geoip2_c / geoip2_compat")
+        reader = MMDBReader.open(path)
+        ranges: list[tuple[int, int, dict]] = []
+        dtypes: dict[str, str] = {}
+        for start, end, doc in reader.iter_ipv4_ranges():
+            flat = flatten_doc(doc)
+            if profile == "geoip2_compat":
+                flat = {k: flat.get(p) for k, p in COMPAT_FROM_NESTED.items()
+                        if flat.get(p) is not None}
+            ranges.append((start, end, flat))
+            for k, v in flat.items():
+                if isinstance(v, bool):
+                    dt = "boolean"
+                elif isinstance(v, float):
+                    dt = "double"
+                elif isinstance(v, int):
+                    dt = "long"
+                else:
+                    dt = "string"
+                if dtypes.setdefault(k, dt) != dt:
+                    # mixed int/float across ranges → double; else stringify
+                    dtypes[k] = ("double" if {dtypes[k], dt} == {"long", "double"}
+                                 else "string")
+        rows = []
+        for start, end, flat in ranges:
+            row: dict = {"range_start": start, "range_end": end}
+            for k, v in flat.items():
+                dt = dtypes[k]
+                if dt == "double" and isinstance(v, (int, float)) \
+                        and not isinstance(v, bool):
+                    row[k] = float(v)
+                elif dt == "string" and not isinstance(v, str):
+                    row[k] = str(v)
+                else:
+                    row[k] = v
+            rows.append(row)
+        return cls.from_rows(rows, profile=profile, dtypes=dtypes)
+
     def attr_type(self, attr_path: str) -> str:
         return attr_dtype(self.profile, attr_path, self.dtypes)
+
+    def lookup_doc(self, ip: str):
+        """Driver-side single-IP probe returning the full raw document
+        (nested for geoip2_c, flat for the compat profiles) — the dump CLI's
+        counterpart of the reference's utils/dump.rb:18-27. Returns None on
+        a miss."""
+        import pandas as pd
+        values, valid = ipv4_to_uint32(pd.Series([ip]))
+        if not valid[0] or len(self.starts) == 0:
+            return None
+        i = int(np.searchsorted(self.starts, values[0], side="right")) - 1
+        if i < 0 or self.ends[i] < values[0]:
+            return None
+        flat = {}
+        for k, arr in self.attrs.items():
+            v = arr[i]
+            if v is None or (isinstance(v, float) and np.isnan(v)):
+                continue
+            flat[k] = v.item() if isinstance(v, np.generic) else v
+        if self.profile == "geoip2_c":
+            from ..sources.mmdb import unflatten_doc
+            return unflatten_doc(flat)
+        return flat
 
     def lookup_batch(self, ips: pd.Series, attr_paths: list[str]) -> pd.DataFrame:
         """Probe a batch of IPv4 strings: ``__hit__`` + one column per attr."""

@@ -1,0 +1,201 @@
+"""MaxMind DB loader tests: from-scratch writer → from-scratch reader →
+GeoDatabase → end-to-end enrich, plus the dump CLI.
+
+The committed fixture (tests/fixtures/geolite2-city-test.mmdb) encodes the
+reference suite's golden ranges (GEOIP2_CITY_ROWS) in the real GeoLite2
+layout (ip_version=6, record_size=28); scripts/build_test_mmdb.py
+regenerates it deterministically.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pandas as pd
+import pytest
+from pyspark.sql import types as T
+
+from fluent_plugin_geoip_spark.config import GeoipConfig, GeoipConfigError
+from fluent_plugin_geoip_spark.operators.enrich import GeoipEnricher
+from fluent_plugin_geoip_spark.operators.geolookup import GeoDatabase
+from fluent_plugin_geoip_spark.sources.fixtures import geoip2_city_db
+from fluent_plugin_geoip_spark.sources.mmdb import (
+    MMDBReader, build_mmdb, decode_value, encode_value, flatten_doc,
+    unflatten_doc,
+)
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures",
+                       "geolite2-city-test.mmdb")
+
+NETS = [
+    ("10.0.0.0/8", {"country": {"iso_code": "XX"},
+                    "location": {"latitude": 1.5},
+                    "flags": {"eu": True, "big": 5375480},
+                    "subdivisions": [{"iso_code": "AA"}, {"iso_code": "BB"}]}),
+    ("192.168.4.0/24", {"country": {"iso_code": "YY"}}),
+    ("192.168.4.0/32", None),  # placeholder replaced below
+]
+NETS[2] = ("203.0.113.128/25", {"n": -42})
+
+
+@pytest.mark.parametrize("ip_version", [4, 6])
+@pytest.mark.parametrize("record_size", [24, 28, 32])
+def test_writer_reader_roundtrip(ip_version, record_size):
+    blob = build_mmdb(NETS, ip_version=ip_version, record_size=record_size)
+    r = MMDBReader.from_bytes(blob)
+    assert r.ip_version == ip_version and r.record_size == record_size
+    got = sorted(r.iter_ipv4_ranges())
+    assert [(s, e) for s, e, _ in got] == [
+        (10 << 24, (10 << 24) + (1 << 24) - 1),
+        ((192 << 24) | (168 << 16) | (4 << 8),
+         (192 << 24) | (168 << 16) | (4 << 8) | 255),
+        ((203 << 24) | (113 << 8) | 128, (203 << 24) | (113 << 8) | 255),
+    ]
+    doc = got[0][2]
+    assert doc["country"]["iso_code"] == "XX"
+    assert doc["location"]["latitude"] == 1.5
+    assert doc["flags"] == {"eu": True, "big": 5375480}
+    assert doc["subdivisions"][1]["iso_code"] == "BB"
+    assert got[2][2] == {"n": -42}  # int32 negative path
+
+
+def test_encode_decode_size_boundaries():
+    for n in (0, 1, 28, 29, 30, 284, 285, 286, 5000):
+        s = "x" * n
+        val, off = decode_value(encode_value(s), 0)
+        assert val == s and off == len(encode_value(s))
+    for v in (0, 1, 255, 65535, 65536, (1 << 32) - 1, 1 << 32, (1 << 56) + 3,
+              -1, -(1 << 31)):
+        assert decode_value(encode_value(v), 0)[0] == v
+    for v in (0.0, -122.0574, 37.419200000000004, 1e300):
+        assert decode_value(encode_value(v), 0)[0] == v
+    assert decode_value(encode_value(True), 0)[0] is True
+    assert decode_value(encode_value(False), 0)[0] is False
+    assert decode_value(encode_value([1, "a", {"k": 2.5}]), 0)[0] == \
+        [1, "a", {"k": 2.5}]
+
+
+def test_pointer_decoding():
+    """Hand-built data section exercising all four pointer widths
+    (the writer never emits pointers; real GeoLite2 files always do)."""
+    target = encode_value("shared")
+    for ss, pad in ((0, 0), (1, 2048), (2, 526336), (3, 0)):
+        # place the target at data-section offset `pad`; the stored pointer
+        # value is the offset minus the width-class base
+        data = b"\x00" * pad + target
+        stored = pad - (0, 2048, 526336, 0)[ss]
+        if ss == 0:
+            ptr = bytes([(1 << 5) | (0 << 3) | (stored >> 8), stored & 0xFF])
+        elif ss == 1:
+            ptr = bytes([(1 << 5) | (1 << 3) | (stored >> 16)]) + \
+                (stored & 0xFFFF).to_bytes(2, "big")
+        elif ss == 2:
+            ptr = bytes([(1 << 5) | (2 << 3) | (stored >> 24)]) + \
+                (stored & 0xFFFFFF).to_bytes(3, "big")
+        else:
+            ptr = bytes([(1 << 5) | (3 << 3)]) + pad.to_bytes(4, "big")
+        buf = data + ptr
+        val, _ = decode_value(buf, len(data), data_start=0, cache={})
+        assert val == "shared", f"ss={ss}"
+
+
+def test_flatten_unflatten_inverse():
+    doc = {"a": {"b": [{"c": 1}, {"c": 2}], "d": "x"}, "e": 2.5}
+    flat = flatten_doc(doc)
+    assert flat == {"a.b.0.c": 1, "a.b.1.c": 2, "a.d": "x", "e": 2.5}
+    assert unflatten_doc(flat) == doc
+
+
+def test_fixture_matches_inmemory_db():
+    db = GeoDatabase.from_mmdb(FIXTURE)
+    ref = geoip2_city_db()
+    assert list(db.starts) == list(ref.starts)
+    assert list(db.ends) == list(ref.ends)
+    out = db.lookup_batch(
+        pd.Series(["66.102.3.80", "203.0.113.1", "125.54.15.42"]),
+        ["city.names.en", "country.iso_code", "location.latitude",
+         "subdivisions.0.iso_code"])
+    assert list(out["__hit__"]) == [True, False, True]
+    assert out["city_names_en"][0] == "Mountain View"
+    assert out["location_latitude"][0] == 37.419200000000004
+    assert out["subdivisions_0_iso_code"][0] == "CA"
+    assert out["city_names_en"][2] == "Tokorozawa"
+
+
+def test_fixture_compat_profile():
+    db = GeoDatabase.from_mmdb(FIXTURE, profile="geoip2_compat")
+    out = db.lookup_batch(pd.Series(["66.102.3.80"]),
+                          ["city", "country_code", "latitude", "region_name"])
+    assert out["city"][0] == "Mountain View"
+    assert out["country_code"][0] == "US"
+    assert out["latitude"][0] == 37.419200000000004
+    assert out["region_name"][0] == "California"
+
+
+def test_from_mmdb_rejects_legacy_profile():
+    with pytest.raises(ValueError, match="dat"):
+        GeoDatabase.from_mmdb(FIXTURE, profile="geoip")
+
+
+def test_enrich_through_mmdb_config(spark):
+    """The reference's primary config path — a DB file location — end to
+    end: geoip2_database in config, no explicit GeoDatabase, reference
+    golden values out (test:258-291 restated)."""
+    cfg = GeoipConfig(
+        lookup_keys=["host"],
+        geoip2_database=FIXTURE,
+        records={"city": "${city.names.en['host']}",
+                 "latitude": "${location.latitude['host']}",
+                 "region": "${subdivisions.0.iso_code['host']}"})
+    enr = GeoipEnricher(spark, cfg)  # database resolved from config
+    df = spark.createDataFrame([("66.102.3.80",), ("203.0.113.1",)],
+                               T.StructType([T.StructField("host", T.StringType())]))
+    out = [r.asDict() for r in enr.transform(df).collect()]
+    assert out[0]["city"] == "Mountain View"
+    assert out[0]["latitude"] == 37.419200000000004
+    assert out[0]["region"] == "CA"
+    assert out[1]["city"] is None and out[1]["latitude"] is None
+
+
+def test_no_database_config_error(spark):
+    cfg = GeoipConfig(lookup_keys=["host"],
+                      records={"c": "${city.names.en['host']}"})
+    with pytest.raises(GeoipConfigError, match="no database"):
+        GeoipEnricher(spark, cfg)
+
+
+def test_dump_cli_golden():
+    """utils/dump.rb counterpart: one JSON line per IP with the raw
+    per-backend record."""
+    out = subprocess.run(
+        [sys.executable, "-m", "fluent_plugin_geoip_spark", "dump",
+         "--mmdb", FIXTURE, "66.102.3.80", "203.0.113.1"],
+        capture_output=True, text=True, check=True,
+        cwd=os.path.join(os.path.dirname(__file__), ".."))
+    lines = [json.loads(l) for l in out.stdout.strip().splitlines()]
+    assert lines[0]["record"]["city"]["names"]["en"] == "Mountain View"
+    assert lines[0]["record"]["location"]["latitude"] == 37.419200000000004
+    assert lines[0]["record"]["subdivisions"][0]["iso_code"] == "CA"
+    assert lines[1]["record"] is None
+
+
+def test_build_script_is_deterministic(tmp_path):
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "build_test_mmdb",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "build_test_mmdb.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    from fluent_plugin_geoip_spark.sources.fixtures import GEOIP2_CITY_ROWS
+    networks = []
+    for row in GEOIP2_CITY_ROWS:
+        flat = {k: v for k, v in row.items()
+                if k not in ("range_start", "range_end")}
+        networks.append((mod.range_to_cidr(row["range_start"], row["range_end"]),
+                         unflatten_doc(flat)))
+    blob = build_mmdb(networks, database_type="GeoLite2-City-Test",
+                      ip_version=6, record_size=28)
+    with open(FIXTURE, "rb") as f:
+        assert f.read() == blob
