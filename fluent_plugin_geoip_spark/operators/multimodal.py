@@ -1,24 +1,24 @@
-"""Multimodal column plumbing: image/audio/video as opaque binary columns
-with typed metadata, processed through Arrow-batched ``mapInPandas``.
+"""Multimodal columns: image/audio/video as opaque binary columns with typed
+metadata, processed through Arrow-batched ``mapInPandas``.
 
-The Spark-side contract (schemas, partitioning, batch iteration, UDF
-signatures) is real and tested; the actual media decoding is STUBBED because
-the sandbox has no image/audio libraries — ``decode_image_batch`` raises
-``NotImplementedError`` unless ``fake=True``, in which case a deterministic
-hash-derived stand-in is produced so the pipeline shape can be exercised and
-benchmarked end-to-end.
+Decoding is pluggable (``DECODERS``: mime → bytes→ndarray). One REAL decoder
+ships in-repo: binary PPM (P6) parsed with pure NumPy — no image libraries
+needed — so the image path exercises actual pixel decoding end to end.
+Compressed formats (JPEG/PNG) and audio/video decode need external libs the
+sandbox lacks; those mimes raise ``NotImplementedError`` unless the caller
+opts into the deterministic hash-derived stand-in (``fake=True``), which
+keeps the pipeline shape benchmarkable.
 
-At 100 TB the important properties are exactly the ones this module pins
-down: media bytes never leave their partition (narrow ``mapInPandas``),
-feature outputs are fixed-width arrays (Arrow-friendly), and decode
-parallelism is per-batch, so executors stream batches without materializing
-whole partitions.
+At 100 TB the important properties are the ones this module pins down:
+media bytes never leave their partition (narrow ``mapInPandas``), feature
+outputs are fixed-width (Arrow-friendly), and decode parallelism is
+per-batch, so executors stream batches without materializing partitions.
 """
 
 from __future__ import annotations
 
 import hashlib
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 import numpy as np
 import pandas as pd
@@ -40,15 +40,112 @@ IMAGE_FEATURES_SCHEMA = T.StructType([
     T.StructField("feature", T.ArrayType(T.FloatType()), True),  # fixed 32-d
 ])
 
+IMAGE_STATS_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("width", T.IntegerType(), False),
+    T.StructField("height", T.IntegerType(), False),
+    T.StructField("sum_r", T.LongType(), False),
+    T.StructField("sum_g", T.LongType(), False),
+    T.StructField("sum_b", T.LongType(), False),
+    T.StructField("ahash", T.LongType(), False),
+])
+
 FEATURE_DIM = 32
 
 
+# ---------------------------------------------------------------------------
+# decoders
+# ---------------------------------------------------------------------------
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) → (height, width, 3) uint8 array, pure NumPy.
+
+    P6 is the classic uncompressed Netpbm format: ASCII header
+    ``P6 <width> <height> <maxval>`` (whitespace/comment separated) followed
+    by raw RGB bytes.
+    """
+    if not payload or not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    # header tokenizer: three decimal fields after the magic, skipping
+    # whitespace and '#' comments; header ends after ONE whitespace byte
+    # following maxval
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace byte after maxval
+    width, height, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"only 8-bit PPM supported (maxval={maxval})")
+    n = width * height * 3
+    raw = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    return raw.reshape(height, width, 3)
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → binary PPM (P6) bytes."""
+    h, w, _ = pixels.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.astype(np.uint8).tobytes()
+
+
+DECODERS: dict[str, Callable[[bytes], np.ndarray]] = {
+    "image/ppm": decode_ppm,
+    "image/x-portable-pixmap": decode_ppm,
+}
+
+
+def _fake_decode(payload: bytes) -> np.ndarray:
+    """Deterministic 32-d float feature from payload bytes (the stand-in for
+    decoders that need external libs)."""
+    h = hashlib.sha256(payload or b"").digest()
+    raw = np.frombuffer((h * ((FEATURE_DIM * 4) // len(h) + 1))[: FEATURE_DIM * 4],
+                        dtype=np.uint32).astype(np.float64)
+    return ((raw % 1000) / 1000.0 - 0.5).astype(np.float32)
+
+
+def _pool_feature(gray: np.ndarray) -> np.ndarray:
+    """Grayscale image → fixed FEATURE_DIM vector by block average pooling,
+    scaled to [-0.5, 0.5]."""
+    flat = gray.astype(np.float64).ravel()
+    # split into FEATURE_DIM contiguous blocks (uneven tails averaged in)
+    blocks = np.array_split(flat, FEATURE_DIM)
+    vec = np.array([b.mean() if len(b) else 0.0 for b in blocks])
+    return (vec / 255.0 - 0.5).astype(np.float32)
+
+
+def ahash64(gray: np.ndarray) -> int:
+    """Average hash: bit i set iff pixel i's gray value exceeds the integer
+    mean, packed little-bit-first into a signed 64-bit int (bit 63 → sign).
+    All-integer arithmetic so any engine recomputes it exactly."""
+    flat = gray.astype(np.int64).ravel()[:64]
+    mean = int(flat.sum()) // len(flat)
+    h = 0
+    for i, v in enumerate(flat):
+        if v > mean:
+            h |= 1 << i
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+# ---------------------------------------------------------------------------
+# generators (deterministic synthetic media)
+# ---------------------------------------------------------------------------
+
 def generate_media(spark, n: int, seed: int = 42) -> DataFrame:
-    """Deterministic synthetic media table (payload = hash-derived bytes)."""
+    """Deterministic synthetic media table (payload = hash-derived bytes;
+    kind cycles image/audio/video by id so any engine can recompute the
+    partitioning)."""
     df = spark.range(n)
     mix = F.abs(F.xxhash64("id", F.lit(seed)))
     kind = F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-                        (mix % 3).cast("int") + 1)
+                        (F.col("id") % 3).cast("int") + 1)
     return df.select(
         F.col("id").alias("media_id"),
         kind.alias("kind"),
@@ -62,53 +159,131 @@ def generate_media(spark, n: int, seed: int = 42) -> DataFrame:
     )
 
 
-def _fake_decode(payload: bytes) -> np.ndarray:
-    """Deterministic 32-d float feature from payload bytes (decode stand-in)."""
-    h = hashlib.sha256(payload or b"").digest()
-    raw = np.frombuffer((h * ((FEATURE_DIM * 4) // len(h) + 1))[: FEATURE_DIM * 4],
-                        dtype=np.uint32).astype(np.float64)
-    return ((raw % 1000) / 1000.0 - 0.5).astype(np.float32)
+def generate_ppm_images(spark, n: int, width: int = 8,
+                        height: int = 8) -> DataFrame:
+    """n real PPM images with formula pixels — channel c of flat pixel i of
+    image ``id`` is ``(id*K_c + i*M_c) % 256`` with (K,M) = (31,7) / (17,11)
+    / (13,5) for r/g/b. Exactly recomputable by any engine (the DuckDB
+    oracle restates the formula in SQL), and genuinely decoded from bytes on
+    the Spark side."""
+    npix = width * height
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        i = np.arange(npix, dtype=np.int64)
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                px = np.empty((npix, 3), dtype=np.uint8)
+                px[:, 0] = (mid * 31 + i * 7) % 256
+                px[:, 1] = (mid * 17 + i * 11) % 256
+                px[:, 2] = (mid * 13 + i * 5) % 256
+                rows.append(encode_ppm(px.reshape(height, width, 3)))
+            yield pd.DataFrame({
+                "media_id": pdf["id"], "kind": "image", "mime": "image/ppm",
+                "width": np.int32(width), "height": np.int32(height),
+                "duration_ms": pd.array([None] * len(pdf), dtype="Int64"),
+                "payload": rows})
+
+    return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
 
 
-def decode_image_batch(payloads: pd.Series, fake: bool = False) -> np.ndarray:
-    """Decode a batch of image payloads to feature vectors.
+# ---------------------------------------------------------------------------
+# feature extraction
+# ---------------------------------------------------------------------------
 
-    Real decoding requires PIL/cv2 (absent in this container): raises
-    ``NotImplementedError`` unless ``fake=True`` (deterministic stand-in).
-    """
+def decode_image_batch(payloads: pd.Series, mime: str | None = None,
+                       fake: bool = False) -> np.ndarray:
+    """Decode a batch of image payloads to FEATURE_DIM vectors via the
+    decoder registry; unregistered mimes raise unless ``fake=True``."""
+    dec = DECODERS.get(mime or "")
+    if dec is not None:
+        return np.stack([
+            _pool_feature(decode_ppm_gray(dec(p))) for p in payloads])
     if not fake:
         raise NotImplementedError(
-            "image decoding requires PIL/cv2 (not available in this "
-            "container); pass fake=True for the deterministic stand-in")
+            f"no decoder registered for mime {mime!r} (available: "
+            f"{sorted(DECODERS)}); compressed formats need PIL/cv2 — pass "
+            "fake=True for the deterministic stand-in")
     return np.stack([_fake_decode(p) for p in payloads])
 
 
+def decode_ppm_gray(pixels: np.ndarray) -> np.ndarray:
+    """(h, w, 3) → integer-mean grayscale (the ahash/pooling input)."""
+    return pixels.astype(np.int64).sum(axis=2) // 3
+
+
 def extract_image_features(df: DataFrame, fake: bool = True) -> DataFrame:
-    """images → (media_id, phash, feature[32]) via Arrow-batched mapInPandas."""
+    """images → (media_id, phash, feature[32]) via Arrow-batched mapInPandas.
+
+    Registered mimes (PPM) decode real pixels: phash is the integer average
+    hash, the feature a pooled grayscale vector. Unregistered mimes use the
+    hash stand-in when ``fake=True``.
+    """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            feats = decode_image_batch(pdf["payload"], fake=fake)
-            phash = pdf["payload"].map(
-                lambda p: int.from_bytes(hashlib.sha256(p or b"").digest()[:8],
-                                         "big", signed=True))
-            yield pd.DataFrame({
-                "media_id": pdf["media_id"],
-                "phash": phash,
-                "feature": list(feats),
-            })
+            feats, phash = [], []
+            for p, m in zip(pdf["payload"], pdf["mime"]):
+                dec = DECODERS.get(m or "")
+                if dec is not None:
+                    gray = decode_ppm_gray(dec(p))
+                    feats.append(_pool_feature(gray))
+                    phash.append(ahash64(gray))
+                elif fake:
+                    feats.append(_fake_decode(p))
+                    phash.append(int.from_bytes(
+                        hashlib.sha256(p or b"").digest()[:8], "big",
+                        signed=True))
+                else:
+                    raise NotImplementedError(
+                        f"no decoder registered for mime {m!r}")
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "phash": phash, "feature": feats})
 
     return (df.filter(F.col("kind") == "image")
-            .select("media_id", "payload")
+            .select("media_id", "mime", "payload")
             .mapInPandas(run, IMAGE_FEATURES_SCHEMA))
+
+
+def image_stats(df: DataFrame) -> DataFrame:
+    """images → exact integer pixel statistics (width, height, per-channel
+    sums, average-hash), decoded from the payload bytes. All-integer so the
+    driver's DuckDB oracle recomputes it exactly — this is the hard
+    correctness gate for the real decode path."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {k: [] for k in ("media_id", "width", "height",
+                                   "sum_r", "sum_g", "sum_b", "ahash")}
+            for mid, p, m in zip(pdf["media_id"], pdf["payload"], pdf["mime"]):
+                dec = DECODERS.get(m or "")
+                if dec is None:
+                    raise NotImplementedError(
+                        f"no decoder registered for mime {m!r}")
+                px = dec(p).astype(np.int64)
+                out["media_id"].append(mid)
+                out["height"].append(px.shape[0])
+                out["width"].append(px.shape[1])
+                out["sum_r"].append(int(px[:, :, 0].sum()))
+                out["sum_g"].append(int(px[:, :, 1].sum()))
+                out["sum_b"].append(int(px[:, :, 2].sum()))
+                out["ahash"].append(ahash64(decode_ppm_gray(px)))
+            yield pd.DataFrame(out)
+
+    return (df.filter(F.col("kind") == "image")
+            .select("media_id", "mime", "payload")
+            .mapInPandas(run, IMAGE_STATS_SCHEMA))
 
 
 def sample_video_frames(df: DataFrame, every_ms: int = 1000,
                         fake: bool = True) -> DataFrame:
     """video → exploded (media_id, frame_ts_ms, feature). Frame timestamps
-    come from metadata (native exprs); per-frame decode is the stub."""
+    come from metadata (native exprs); per-frame decode needs ffmpeg, so it
+    is the stand-in unless a video decoder is registered."""
     frames = (df.filter(F.col("kind") == "video")
               .select("media_id", "payload",
                       F.explode(F.sequence(

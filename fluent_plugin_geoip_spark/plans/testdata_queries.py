@@ -506,6 +506,12 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH top-k, FULLY oracle-checked (was rows-only in
+    round 1): the DuckDB oracle re-derives every bucket from the same
+    hyperplane literals, joins candidates the same way, and re-ranks by
+    exact cosine — so bucketing, candidate generation and re-rank are all on
+    the hook. Sign-of-dot is fp-stable across engines here because |dot| of
+    random 64-d vectors is never within rounding distance of 0."""
     from ..operators.similarity import lsh_topk
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = e.filter(F.col("vec_id") < 10)
@@ -513,10 +519,76 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "rank")
 
 
+def _ann_oracle_sql(dim: int = 64, nbits: int = 8, n_tables: int = 4,
+                    seed: int = 42, k: int = 5, nq: int = 10) -> str:
+    """Generate the ANN oracle with the SAME hyperplanes the Spark operator
+    draws (deterministic rng(seed)), inlined as SQL list literals."""
+    from ..operators.similarity import _hyperplanes
+    bucket_cols = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, nbits, seed + 1000 * t)
+        bits = []
+        for j in range(nbits):
+            lits = ", ".join(repr(float(x)) for x in planes[j])
+            bits.append(f"(CASE WHEN list_dot_product(v, [{lits}]) >= 0 "
+                        f"THEN {1 << (nbits - 1 - j)} ELSE 0 END)")
+        bucket_cols.append("(" + " + ".join(bits) + f") AS b{t}")
+    on = " OR ".join(f"q.b{t} = c.b{t}" for t in range(n_tables))
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sig AS (SELECT vec_id, v, {', '.join(bucket_cols)} FROM e),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cid, q.v AS qv, c.v AS cv
+  FROM sig q JOIN sig c ON ({on})
+  WHERE q.vec_id < {nq} AND c.vec_id <> q.vec_id),
+scored AS (
+  SELECT query_id, cid AS neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY list_cosine_similarity(qv, cv) DESC, cid)
+           AS rank
+  FROM cand)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+FROM scored WHERE rank <= {k}
+"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.multimodal import extract_image_features, generate_media
-    media = generate_media(spark, 500)
-    return extract_image_features(media, fake=True).select("media_id", "phash")
+    """REAL image decode certified end to end: deterministic PPM payloads →
+    pure-NumPy P6 decode → integer pixel stats + average-hash. The oracle
+    recomputes the pixel formula in SQL, so every byte of the decode path is
+    on the hook (was rows-only in round 1)."""
+    from ..operators.multimodal import generate_ppm_images, image_stats
+    media = generate_ppm_images(spark, 300)
+    return image_stats(media)
+
+
+ORACLE_MULTIMODAL = """
+WITH px AS (
+  SELECT t.id AS media_id, s.i AS i,
+         (t.id * 31 + s.i * 7) % 256 AS r,
+         (t.id * 17 + s.i * 11) % 256 AS g,
+         (t.id * 13 + s.i * 5) % 256 AS b
+  FROM range(300) t(id), range(64) s(i)
+), gr AS (
+  SELECT media_id, i, r, g, b, (r + g + b) // 3 AS gray FROM px
+), agg AS (
+  SELECT media_id, sum(r) AS sum_r, sum(g) AS sum_g, sum(b) AS sum_b,
+         sum(gray) // 64 AS mean_gray
+  FROM gr GROUP BY 1
+), bits AS (
+  SELECT g.media_id,
+         sum(CASE WHEN g.gray > a.mean_gray
+                  THEN CASE WHEN g.i = 63 THEN -9223372036854775808
+                            ELSE (CAST(1 AS BIGINT) << CAST(g.i AS INT)) END
+                  ELSE 0 END) AS ahash
+  FROM gr g JOIN agg a USING (media_id) GROUP BY 1
+)
+SELECT a.media_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+       CAST(a.sum_r AS BIGINT) AS sum_r, CAST(a.sum_g AS BIGINT) AS sum_g,
+       CAST(a.sum_b AS BIGINT) AS sum_b,
+       CAST(coalesce(b.ahash, 0) AS BIGINT) AS ahash
+FROM agg a JOIN bits b USING (media_id)
+"""
 
 
 QUERIES = {
@@ -562,4 +634,6 @@ ORACLES = {
     "embedding_topk": ORACLE_EMBEDDING_TOPK,
     "sessionize_events": ORACLE_SESSIONIZE,
     "topk_per_group": ORACLE_TOPK,
+    "multimodal_features": ORACLE_MULTIMODAL,
+    "ann_lsh_topk": _ann_oracle_sql(),
 }

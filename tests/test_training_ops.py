@@ -252,3 +252,38 @@ def test_video_frame_sampling(spark):
         "media_id", "duration_ms").collect()
     expected = sum(int(v.duration_ms // 10_000) + 1 for v in vids)
     assert frames.count() == expected
+
+
+def test_ppm_decode_roundtrip():
+    import numpy as np
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(5, 9, 3), dtype=np.uint8)
+    assert (multimodal.decode_ppm(multimodal.encode_ppm(px)) == px).all()
+    # header with comment + multi-digit dims
+    hdr = b"P6\n# a comment\n12  3\n255\n" + bytes(12 * 3 * 3)
+    assert multimodal.decode_ppm(hdr).shape == (3, 12, 3)
+    with pytest.raises(ValueError, match="P6"):
+        multimodal.decode_ppm(b"JFIF....")
+
+
+def test_real_ppm_feature_extraction(spark):
+    """The real decode path: PPM bytes → pixels → integer stats + ahash,
+    verified against a local NumPy recomputation of the pixel formula."""
+    import numpy as np
+    media = multimodal.generate_ppm_images(spark, 40)
+    stats = {r.media_id: r for r in multimodal.image_stats(media).collect()}
+    assert len(stats) == 40
+    i = np.arange(64, dtype=np.int64)
+    for mid in (0, 7, 39):
+        r = (mid * 31 + i * 7) % 256
+        g = (mid * 17 + i * 11) % 256
+        b = (mid * 13 + i * 5) % 256
+        assert stats[mid].sum_r == int(r.sum())
+        assert stats[mid].sum_g == int(g.sum())
+        assert stats[mid].sum_b == int(b.sum())
+        gray = (r + g + b) // 3
+        assert stats[mid].ahash == multimodal.ahash64(gray.reshape(8, 8))
+    # the pooled feature path also decodes real pixels for registered mimes
+    feats = multimodal.extract_image_features(media, fake=False).collect()
+    assert len(feats) == 40
+    assert all(len(f.feature) == multimodal.FEATURE_DIM for f in feats)
