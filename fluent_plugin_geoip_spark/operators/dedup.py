@@ -57,11 +57,25 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text",
 
 def shingle_hashes(text: Column, n: int = 5) -> Column:
     """Distinct hashes of character n-grams (xxhash64 mod P, non-negative)."""
-    t = F.lower(F.regexp_replace(text, r"\s+", " "))
-    idx = F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(1)))
-    grams = F.transform(idx, lambda i: t.substr(i, F.lit(n)))
+    grams = _shingle_grams(text, n)
     return F.array_distinct(
         F.transform(grams, lambda g: F.pmod(F.xxhash64(g), F.lit(_P))))
+
+
+def shingle_set(text: Column, n: int = 5) -> Column:
+    """Distinct RAW character n-grams (strings). The exact-verification
+    variant: hashed shingles (the compact default) carry a ~|grams|²/2^32
+    per-doc collision probability that can nudge a borderline Jaccard;
+    raw grams have none, so an independent engine recomputes the same
+    Jaccard bit for bit. ~5× the memory of hashes — use for verification
+    of candidate pairs, not for corpus-wide signatures."""
+    return F.array_distinct(_shingle_grams(text, n))
+
+
+def _shingle_grams(text: Column, n: int) -> Column:
+    t = F.lower(F.regexp_replace(text, r"\s+", " "))
+    idx = F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(1)))
+    return F.transform(idx, lambda i: t.substr(i, F.lit(n)))
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -73,9 +87,12 @@ def jaccard(a: Column, b: Column) -> Column:
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 5,
                         threshold: float = 0.8,
-                        candidates: DataFrame | None = None) -> DataFrame:
+                        candidates: DataFrame | None = None,
+                        exact_grams: bool = False) -> DataFrame:
     """Exact n-gram Jaccard over candidate id pairs (default: all pairs from
-    a self-join — only for small inputs; at scale pass LSH candidates)."""
+    a self-join — only for small inputs; at scale pass LSH candidates).
+    ``exact_grams=True`` verifies on raw gram strings instead of hashes
+    (collision-free — what the oracle-checked driver query uses)."""
     if candidates is not None:
         # shingle only the docs that appear in a candidate pair — at scale
         # candidates cover a tiny fraction of the corpus and shingling is
@@ -83,8 +100,9 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
         ids = (candidates.select(F.col("id_a").alias(id_col))
                .union(candidates.select(F.col("id_b").alias(id_col))).distinct())
         df = df.join(ids, id_col, "left_semi")  # AQE picks broadcast when small
+    shingler = shingle_set if exact_grams else shingle_hashes
     sh = df.select(F.col(id_col).alias("id"),
-                   shingle_hashes(F.col(text_col), n).alias("sh")).persist()
+                   shingler(F.col(text_col), n).alias("sh")).persist()
     if candidates is None:
         a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
         b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
@@ -254,7 +272,8 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str = "doc_id",
                       num_hashes: int = 128, bands: int = 16, rows: int = 8,
                       threshold: float = 0.8,
                       max_bucket: int = 200,
-                      use_pandas_sig: bool = True) -> DataFrame:
+                      use_pandas_sig: bool = True,
+                      exact_grams: bool = False) -> DataFrame:
     """Near-duplicate pairs: MinHash-LSH candidates verified by exact
     n-gram Jaccard. Returns (id_a, id_b, jaccard).
 
@@ -272,7 +291,7 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str = "doc_id",
     cands = lsh_candidate_pairs(sigs, "sig", bands=bands, rows=rows,
                                 max_bucket=max_bucket)
     return ngram_jaccard_pairs(df, id_col, text_col, n, threshold,
-                               candidates=cands)
+                               candidates=cands, exact_grams=exact_grams)
 
 
 # ---------------------------------------------------------------------------
@@ -284,7 +303,26 @@ def _bit_masks(bits: int) -> Column:
     return F.array(*[F.lit(v).cast("long") for v in vals])
 
 
-def simhash(text: Column, bits: int = 64) -> Column:
+_P1, _P2 = 1_000_000_007, 998_244_353
+
+
+def portable_token_hash64(tok: Column) -> Column:
+    """Engine-portable 62-bit token hash: two independent polynomial folds
+    over the character code points, packed as ``h1 * 2^31 + h2``.
+
+    Every operation (ascii, *, +, %) has an exact counterpart in ANSI SQL,
+    so an independent engine (the DuckDB oracle) can recompute the hash —
+    unlike xxhash64, which is Spark-internal. All intermediates stay < 2^61
+    (no int64 overflow on either engine). xxhash64 remains the default
+    production hash (faster: one JVM intrinsic vs two interpreted folds)."""
+    def poly(k: int, p: int) -> Column:
+        return F.aggregate(
+            F.split(tok, ""), F.lit(0).cast("long"),
+            lambda acc, c: (acc * k + F.ascii(c)) % p)
+    return poly(31, _P1) * F.lit(1 << 31) + poly(37, _P2)
+
+
+def simhash(text: Column, bits: int = 64, portable: bool = False) -> Column:
     """SimHash over whitespace tokens: per-bit ±1 votes of token hashes,
     folded to a signed 64-bit long.
 
@@ -293,9 +331,15 @@ def simhash(text: Column, bits: int = 64) -> Column:
     ``zip_with(acc, masks, ...)``. Bit tests use mask literals with
     ``bitwiseAND`` (column-capable) rather than shiftright (whose shift
     count must be a literal, which would force per-bit expressions that each
-    re-evaluate the token hashing)."""
+    re-evaluate the token hashing).
+
+    ``portable=True`` swaps xxhash64 for ``portable_token_hash64`` so the
+    whole signature is recomputable by an independent SQL engine (the
+    oracle-checked driver query uses it; production default stays
+    xxhash64)."""
     toks = F.split(F.trim(F.lower(text)), r"\s+")
-    toks_h = F.transform(toks, lambda t: F.xxhash64(t))
+    toks_h = F.transform(
+        toks, portable_token_hash64 if portable else (lambda t: F.xxhash64(t)))
     masks = _bit_masks(bits)
     votes = F.aggregate(
         toks_h,
@@ -315,15 +359,19 @@ def hamming64(a: Column, b: Column) -> Column:
 
 def simhash_dedup(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", max_hamming: int = 3,
-                  band_bits: int = 16, max_bucket: int = 200) -> DataFrame:
+                  band_bits: int = 16, max_bucket: int = 200,
+                  portable: bool = False) -> DataFrame:
     """Near-dup pairs by SimHash: bucket on each 16-bit band (any pair within
-    Hamming ≤ 3 of a 64-bit signature shares at least one of 4 bands), then
-    verify the Hamming distance. Returns (id_a, id_b, hamming)."""
+    Hamming ≤ 3 of a 64-bit signature shares at least one of 4 bands — the
+    pigeonhole guarantee that makes the output EXACTLY all pairs with
+    Hamming ≤ max_hamming, modulo the ``max_bucket`` skew cap), then verify
+    the Hamming distance. Returns (id_a, id_b, hamming)."""
     nbands = 64 // band_bits
     # same materialization barrier as lsh_candidate_pairs: the simhash tree
     # (64 per-bit aggregates) must not be inlined into every band/join ref
     sigs = df.select(F.col(id_col).alias("id"),
-                     simhash(F.col(text_col)).alias("sig")).persist()
+                     simhash(F.col(text_col), portable=portable).alias("sig")
+                     ).persist()
     entries = F.array(*[
         F.struct(F.lit(bi).alias("band"),
                  F.shiftrightunsigned(F.col("sig"), bi * band_bits)

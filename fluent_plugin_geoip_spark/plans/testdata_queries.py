@@ -487,22 +487,99 @@ WHERE rank <= 3
 
 
 # ---------------------------------------------------------------------------
-# Non-SQL-expressible operators — queries() entries WITHOUT oracle_sql()
-# (the driver records a rows-only check; deterministic by construction)
+# Randomized/sketch operators (MinHash-LSH, SimHash, hyperplane-LSH ANN,
+# multimodal decode) — rows-only in round 1, now FULLY oracle-checked: the
+# operators are configured so their output is a deterministic function the
+# oracle recomputes exactly (pigeonhole-complete banding, portable hashes,
+# inlined hyperplanes, integer pixel math).
 # ---------------------------------------------------------------------------
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup, FULLY oracle-checked (was rows-only in round
+    1). The oracle computes ALL pairs with exact char-5-gram Jaccard ≥ 0.8
+    via an inverted-index join; the operator output equals that because
+    (a) verification uses exact raw grams (collision-free, same Jaccard bit
+    for bit — the division has identical integer operands on both engines)
+    and (b) 32 bands × 4 rows put candidate recall at 1 - 3e-18 for the
+    J ≥ 0.92 pairs this corpus actually contains (measured; nothing sits
+    near the threshold)."""
     from ..operators.dedup import minhash_lsh_dedup
     d = _documents(spark, sf_dir)
-    return (minhash_lsh_dedup(d, threshold=0.8)
-            .select("id_a", "id_b").orderBy("id_a", "id_b"))
+    return (minhash_lsh_dedup(d, threshold=0.8, bands=32, rows=4,
+                              num_hashes=128, exact_grams=True)
+            .select("id_a", "id_b", "jaccard").orderBy("id_a", "id_b"))
+
+
+ORACLE_MINHASH = r"""
+WITH docs AS (
+  SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         substr(t, CAST(unnest(range(1, greatest(length(t) - 4, 1) + 1)) AS INT),
+                5) AS g
+  FROM docs
+), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ic
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST(ic AS DOUBLE) / (sa.sz + sb.sz - ic) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(ic AS DOUBLE) / (sa.sz + sb.sz - ic) >= 0.8
+ORDER BY id_a, id_b
+"""
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup, FULLY oracle-checked (was rows-only in round 1):
+    with the portable token hash the oracle recomputes every signature in
+    SQL, and the 4×16-bit banding is pigeonhole-complete for Hamming ≤ 3,
+    so the operator output must EQUAL the brute-force Hamming join. The
+    skew cap is lifted here so the equality is exact (cap semantics are
+    pytest-covered separately); empty texts are excluded because the two
+    engines tokenize '' differently."""
     from ..operators.dedup import simhash_dedup
-    d = _documents(spark, sf_dir)
-    return (simhash_dedup(d, max_hamming=3)
-            .select("id_a", "id_b", "hamming").orderBy("id_a", "id_b"))
+    d = _documents(spark, sf_dir).filter(F.length(F.trim(F.col("text"))) > 0)
+    return (simhash_dedup(d, max_hamming=3, max_bucket=1_000_000, portable=True)
+            .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+            .orderBy("id_a", "id_b"))
+
+
+ORACLE_SIMHASH = r"""
+WITH docs AS (
+  SELECT doc_id, trim(lower(text)) AS t FROM documents
+  WHERE length(trim(text)) > 0
+), toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(t, '\s+')) AS tok FROM docs
+), th AS (
+  SELECT doc_id,
+    (list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT))),
+        (a, b) -> (a * 31 + b) % 1000000007) * 2147483648
+   + list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT))),
+        (a, b) -> (a * 37 + b) % 998244353)) AS h
+  FROM toks
+), votes AS (
+  SELECT doc_id, s.i AS i,
+         sum(CASE WHEN (h >> CAST(s.i AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th, range(64) s(i) GROUP BY 1, 2
+), sigs AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v > 0 THEN
+                    CASE WHEN i = 63 THEN -9223372036854775808
+                         ELSE (CAST(1 AS BIGINT) << CAST(i AS INT)) END
+                  ELSE 0 END) AS BIGINT) AS sig
+  FROM votes GROUP BY 1
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+ORDER BY id_a, id_b
+"""
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -609,7 +686,6 @@ QUERIES = {
     "embedding_topk": q_embedding_topk,
     "sessionize_events": q_sessionize_events,
     "topk_per_group": q_topk_per_group,
-    # rows-only (non-SQL-expressible; no ORACLES entry)
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -636,4 +712,6 @@ ORACLES = {
     "topk_per_group": ORACLE_TOPK,
     "multimodal_features": ORACLE_MULTIMODAL,
     "ann_lsh_topk": _ann_oracle_sql(),
+    "dedup_simhash": ORACLE_SIMHASH,
+    "dedup_minhash_lsh": ORACLE_MINHASH,
 }
