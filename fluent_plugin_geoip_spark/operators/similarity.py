@@ -30,16 +30,31 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / norms
 
 
+# Hard cap on the driver-collected query side: the contract of cosine_topk
+# is broadcast-small queries vs a scan-only corpus. 100k × 64-d float64 ≈
+# 50 MB broadcast — past that the caller should flip the sides or use
+# lsh_topk's join path. Failing fast beats an opaque driver OOM.
+MAX_BROADCAST_QUERIES = 100_000
+
+
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                 id_col: str = "vec_id", vec_col: str = "embedding",
-                exclude_self: bool = True) -> DataFrame:
+                exclude_self: bool = True,
+                max_queries: int = MAX_BROADCAST_QUERIES) -> DataFrame:
     """Exact top-k cosine neighbours for every query row.
 
     Returns (query_id, neighbor_id, cosine, rank). Ranks are 1-based with a
-    deterministic tie-break on neighbor_id.
+    deterministic tie-break on neighbor_id. The query side is collected and
+    broadcast — guarded by ``max_queries`` (raises instead of OOMing the
+    driver; the limit+collect costs no extra job).
     """
     spark = corpus.sparkSession
-    qrows = queries.select(id_col, vec_col).collect()
+    qrows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"cosine_topk broadcasts the query side on the driver; got more "
+            f"than max_queries={max_queries} rows — swap corpus/queries or "
+            f"use lsh_topk (bucket-join path) for large query sets")
     qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
     qmat = _normalize(np.array([r[vec_col] for r in qrows], dtype=np.float64))
     bc = spark.sparkContext.broadcast((qids, qmat))

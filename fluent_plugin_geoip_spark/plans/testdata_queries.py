@@ -355,10 +355,12 @@ FROM documents
 
 def q_lang_id_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Confusion counts of the marker-lexicon language-ID vs the labeled
-    lang column."""
-    from ..operators.textstats import lang_id
+    lang column (Arrow-batched voting path; a pytest pins its parity with
+    the pure-Catalyst ``lang_id``)."""
+    from ..operators.textstats import lang_id_pandas
     d = _documents(spark, sf_dir)
-    return (d.groupBy(F.col("lang"), lang_id(F.col("text")).alias("lang_pred"))
+    return (d.groupBy(F.col("lang"),
+                      lang_id_pandas(F.col("text")).alias("lang_pred"))
             .agg(F.count("*").alias("n")))
 
 

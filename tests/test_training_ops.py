@@ -287,3 +287,31 @@ def test_real_ppm_feature_extraction(spark):
     feats = multimodal.extract_image_features(media, fake=False).collect()
     assert len(feats) == 40
     assert all(len(f.feature) == multimodal.FEATURE_DIM for f in feats)
+
+
+def test_lang_id_pandas_parity(spark):
+    """The Arrow fast path and the pure-Catalyst lang_id must agree on every
+    document (same argmax + tie-break + und default)."""
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    both = d.select(
+        "doc_id",
+        textstats.lang_id(F.col("text")).alias("native"),
+        textstats.lang_id_pandas(F.col("text")).alias("arrow"))
+    mismatches = both.filter(F.col("native") != F.col("arrow")).count()
+    assert mismatches == 0
+    # edge cases: empty / whitespace / ties / no-hit
+    rows = [("",), ("   ",), ("zzz qqq xxx",), ("the der le el",),
+            ("the the der",), ("für nicht und der",)]
+    df = spark.createDataFrame(rows, "text string")
+    out = df.select(textstats.lang_id(F.col("text")).alias("n"),
+                    textstats.lang_id_pandas(F.col("text")).alias("a")).collect()
+    for r in out:
+        assert r.n == r.a, rows
+
+
+def test_cosine_topk_query_guard(spark):
+    """The broadcast-side cap must trip with a clear error instead of an
+    opaque driver OOM (round-1 VERDICT risk item)."""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError, match="max_queries"):
+        similarity.cosine_topk(e, e, k=3, max_queries=10)
