@@ -61,6 +61,13 @@ def bench_training_ops(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     q = embs.filter(F.col("vec_id") < 20)
     n = similarity.lsh_topk(embs, q, k=10, nbits=8, n_tables=4).count()
     out["ann_lsh_topk"] = round(time.perf_counter() - t0, 3)
+
+    # real image decode throughput: 20k binary PPMs → pixel stats + ahash
+    from fluent_plugin_geoip_spark.operators import multimodal
+    t0 = time.perf_counter()
+    n = multimodal.image_stats(multimodal.generate_ppm_images(
+        spark, 20_000, width=16, height=16)).count()
+    out["multimodal_ppm_stats"] = round(time.perf_counter() - t0, 3)
     del n
     return out
 

@@ -101,7 +101,8 @@ class GeoipPipeline:
             manifest, stats = route_and_write(
                 enriched.select(*keep), out_dir,
                 salt_buckets=salt_buckets, resume=resume, stat_cols=("lang",))
-            # counts derive from the SAME lineage aggregate (no extra scan)
+            # counts derive from the SAME lineage aggregate (no extra scan);
+            # on resume the stats cover only partitions written this run
             rows = [("__miss__" if r["route_country"] == "__unrouted__"
                      else r["route_country"], r["lang"], r["rows"]) for r in stats]
             counts = self.spark.createDataFrame(
