@@ -52,10 +52,14 @@ class GeoipEnricher:
         self._udf_cache: dict[tuple[str, ...], object] = {}
 
     def _udf_for(self, attrs: list[str]):
+        # v4-only DBs take the fast path: IPv4→uint32 parsed JVM-side, the
+        # Arrow crossing carries one long per row. A v6-capable DB must see
+        # the raw string (v6 addresses parse to null in the JVM v4 parser).
         key = tuple(attrs)
         if key not in self._udf_cache:
+            input_type = "string" if self.db.has_ipv6 else "long"
             self._udf_cache[key] = make_lookup_udf(self.spark, self.db, attrs,
-                                                   input_type="long")
+                                                   input_type=input_type)
         return self._udf_cache[key]
 
     def transform(self, df: DataFrame) -> DataFrame:
@@ -78,9 +82,9 @@ class GeoipEnricher:
             # octet split/cast chain is evaluated once, not once per octet
             # inside the UDF argument expression
             ip_name = f"__ip_{i}"
+            addr = accessor_column(comp.accessors[key]).cast("string")
             df = df.withColumn(
-                ip_name,
-                ipv4_str_to_long(accessor_column(comp.accessors[key]).cast("string")))
+                ip_name, addr if self.db.has_ipv6 else ipv4_str_to_long(addr))
             df = df.withColumn(col_name, udf(F.col(ip_name)))
             ip_cols.append(ip_name)
             geo_cols[key] = col_name

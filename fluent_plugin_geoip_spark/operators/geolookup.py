@@ -103,6 +103,18 @@ class GeoDatabase:
     ends: np.ndarray
     attrs: dict[str, np.ndarray]
     dtypes: dict[str, str] = field(default_factory=dict)
+    # optional native-IPv6 table: sorted 16-byte big-endian bounds ('S16'
+    # numpy arrays — lexicographic order == numeric order) + per-range attr
+    # arrays sharing the same dtype map. Empty for v4-only databases.
+    starts6: np.ndarray = field(
+        default_factory=lambda: np.array([], dtype="S16"))
+    ends6: np.ndarray = field(
+        default_factory=lambda: np.array([], dtype="S16"))
+    attrs6: dict[str, np.ndarray] = field(default_factory=dict)
+
+    @property
+    def has_ipv6(self) -> bool:
+        return len(self.starts6) > 0
 
     @classmethod
     def from_rows(cls, rows: list[dict], profile: str = "geoip2_c",
@@ -149,14 +161,18 @@ class GeoDatabase:
                 "the legacy 'geoip' backend reads GeoCityLite .dat files; "
                 ".mmdb loading supports geoip2_c / geoip2_compat")
         reader = MMDBReader.open(path)
-        ranges: list[tuple[int, int, dict]] = []
-        dtypes: dict[str, str] = {}
-        for start, end, doc in reader.iter_ipv4_ranges():
+
+        def project(doc: dict) -> dict:
             flat = flatten_doc(doc)
             if profile == "geoip2_compat":
                 flat = {k: flat.get(p) for k, p in COMPAT_FROM_NESTED.items()
                         if flat.get(p) is not None}
-            ranges.append((start, end, flat))
+            return flat
+
+        ranges4 = [(s, e, project(d)) for s, e, d in reader.iter_ipv4_ranges()]
+        ranges6 = [(s, e, project(d)) for s, e, d in reader.iter_ipv6_ranges()]
+        dtypes: dict[str, str] = {}
+        for _, _, flat in ranges4 + ranges6:
             for k, v in flat.items():
                 if isinstance(v, bool):
                     dt = "boolean"
@@ -170,20 +186,34 @@ class GeoDatabase:
                     # mixed int/float across ranges → double; else stringify
                     dtypes[k] = ("double" if {dtypes[k], dt} == {"long", "double"}
                                  else "string")
+
+        def norm(v, dt):
+            if dt == "double" and isinstance(v, (int, float)) \
+                    and not isinstance(v, bool):
+                return float(v)
+            if dt == "string" and v is not None and not isinstance(v, str):
+                return str(v)
+            return v
+
         rows = []
-        for start, end, flat in ranges:
+        for start, end, flat in ranges4:
             row: dict = {"range_start": start, "range_end": end}
             for k, v in flat.items():
-                dt = dtypes[k]
-                if dt == "double" and isinstance(v, (int, float)) \
-                        and not isinstance(v, bool):
-                    row[k] = float(v)
-                elif dt == "string" and not isinstance(v, str):
-                    row[k] = str(v)
-                else:
-                    row[k] = v
+                row[k] = norm(v, dtypes[k])
             rows.append(row)
-        return cls.from_rows(rows, profile=profile, dtypes=dtypes)
+        db = cls.from_rows(rows, profile=profile, dtypes=dtypes)
+        if ranges6:
+            ranges6.sort(key=lambda r: r[0])
+            db.starts6 = np.array([s for s, _, _ in ranges6], dtype="S16")
+            db.ends6 = np.array([e for _, e, _ in ranges6], dtype="S16")
+            for k, dt in dtypes.items():
+                vals = [norm(f.get(k), dt) for _, _, f in ranges6]
+                if dt == "double":
+                    db.attrs6[k] = np.array(
+                        [np.nan if v is None else v for v in vals], dtype=np.float64)
+                else:
+                    db.attrs6[k] = np.array(vals, dtype=object)
+        return db
 
     def attr_type(self, attr_path: str) -> str:
         return attr_dtype(self.profile, attr_path, self.dtypes)
@@ -191,17 +221,32 @@ class GeoDatabase:
     def lookup_doc(self, ip: str):
         """Driver-side single-IP probe returning the full raw document
         (nested for geoip2_c, flat for the compat profiles) — the dump CLI's
-        counterpart of the reference's utils/dump.rb:18-27. Returns None on
-        a miss."""
+        counterpart of the reference's utils/dump.rb:18-27. Handles both
+        IPv4 and (when the DB carries a v6 table) IPv6 addresses; returns
+        None on a miss."""
         import pandas as pd
-        values, valid = ipv4_to_uint32(pd.Series([ip]))
-        if not valid[0] or len(self.starts) == 0:
-            return None
-        i = int(np.searchsorted(self.starts, values[0], side="right")) - 1
-        if i < 0 or self.ends[i] < values[0]:
-            return None
+        attrs, i = self.attrs, -1
+        if ":" in ip and self.has_ipv6:
+            idx, keys, v4map = self._parse_v6(pd.Series([ip]))
+            if v4map:
+                return self.lookup_doc(
+                    ".".join(str(b) for b in v4map[0][1].to_bytes(4, "big")))
+            if not idx:
+                return None
+            k = np.array(keys, dtype="S16")
+            i = int(np.searchsorted(self.starts6, k[0], side="right")) - 1
+            if i < 0 or self.ends6[i] < k[0]:
+                return None
+            attrs = self.attrs6
+        else:
+            values, valid = ipv4_to_uint32(pd.Series([ip]))
+            if not valid[0] or len(self.starts) == 0:
+                return None
+            i = int(np.searchsorted(self.starts, values[0], side="right")) - 1
+            if i < 0 or self.ends[i] < values[0]:
+                return None
         flat = {}
-        for k, arr in self.attrs.items():
+        for k, arr in attrs.items():
             v = arr[i]
             if v is None or (isinstance(v, float) and np.isnan(v)):
                 continue
@@ -212,9 +257,68 @@ class GeoDatabase:
         return flat
 
     def lookup_batch(self, ips: pd.Series, attr_paths: list[str]) -> pd.DataFrame:
-        """Probe a batch of IPv4 strings: ``__hit__`` + one column per attr."""
+        """Probe a batch of address strings: ``__hit__`` + one column per
+        attr. IPv4 goes through the vectorized uint32 path; when the
+        database carries a v6 table, addresses containing ``:`` probe it
+        (v4-mapped ``::ffff:a.b.c.d`` text maps onto the v4 space, matching
+        libmaxminddb's behavior in the reference backend)."""
         values, valid = ipv4_to_uint32(ips)
-        return self.lookup_batch_ints(values, valid, attr_paths)
+        if not self.has_ipv6:
+            return self.lookup_batch_ints(values, valid, attr_paths)
+        idx6, keys6, v4map = self._parse_v6(ips)
+        for i, u32 in v4map:  # v4-mapped text probes the v4 table
+            values[i] = u32
+            valid[i] = True
+        out = self.lookup_batch_ints(values, valid, attr_paths)
+        self._overlay_v6(out, idx6, keys6, attr_paths)
+        return out
+
+    def _parse_v6(self, ips: pd.Series):
+        """Indices + packed 16-byte keys of parseable IPv6 strings; v4-mapped
+        addresses are returned separately as (index, uint32)."""
+        import socket
+        idx, keys, v4map = [], [], []
+        for i, v in enumerate(ips):
+            if v is None or not isinstance(v, str) or ":" not in v:
+                continue
+            try:
+                b = socket.inet_pton(socket.AF_INET6, v)
+            except OSError:
+                continue
+            if b[:10] == b"\x00" * 10 and b[10:12] == b"\xff\xff":
+                v4map.append((i, int.from_bytes(b[12:], "big")))
+            else:
+                idx.append(i)
+                keys.append(b)
+        return idx, keys, v4map
+
+    def _overlay_v6(self, out: pd.DataFrame, idx: list[int],
+                    keys: list[bytes], attr_paths: list[str]) -> None:
+        """Overwrite rows whose address hits the native-IPv6 table."""
+        if not idx:
+            return
+        k = np.array(keys, dtype="S16")
+        pos = np.searchsorted(self.starts6, k, side="right") - 1
+        posc = np.clip(pos, 0, len(self.starts6) - 1)
+        hit = (pos >= 0) & (self.ends6[posc] >= k)
+        rows = [r for r, h in zip(idx, hit) if h]
+        if not rows:
+            return
+        hpos = posc[hit]
+        out.loc[rows, "__hit__"] = True
+        for p in attr_paths:
+            arr = self.attrs6.get(p)
+            name = sanitize_attr(p)
+            if arr is None:
+                continue  # stays null
+            vals = arr[hpos]
+            dt = self.attr_type(p)
+            if dt == "double":
+                vals = [None if (v is None or (isinstance(v, float) and np.isnan(v)))
+                        else float(v) for v in vals]
+            elif dt in ("int", "long"):
+                vals = [None if v is None else int(v) for v in vals]
+            out.loc[rows, name] = pd.Series(vals, index=rows, dtype=out[name].dtype)
 
     def lookup_batch_longs(self, ips: pd.Series, attr_paths: list[str]) -> pd.DataFrame:
         """Probe a batch of pre-parsed uint32-as-long IPs (null → miss)."""

@@ -234,6 +234,56 @@ class MMDBReader:
                     span = 1 << (32 - (depth + 1))
                     yield child_prefix, child_prefix + span - 1, doc_cache[rec]
 
+    def iter_ipv6_ranges(self):
+        """Yield ``(start_bytes16, end_bytes16, nested_doc)`` for every
+        native-IPv6 network, EXCLUDING the ::/96 IPv4 subtree (covered by
+        ``iter_ipv4_ranges``) and skipping aliased subtrees (GeoLite2 points
+        2002::/16 / ::ffff:0:0/96 etc. back at the IPv4 subtree — node reuse
+        is detected with a visited set so each network is yielded once)."""
+        if self.ip_version != 6:
+            return
+        doc_cache: dict[int, dict] = {}
+        # the IPv4 subtree (under the 96-zero spine) is enumerated by
+        # iter_ipv4_ranges; collect its node set so aliases pointing back at
+        # it (GeoLite2 aliases 2002::/16, ::ffff:0:0/96, … to the v4 space)
+        # are skipped instead of re-emitted
+        v4_nodes: set[int] = set()
+        v4_root = self._ipv4_root()
+        if v4_root is not None:
+            stack = [v4_root]
+            while stack:
+                nd = stack.pop()
+                if nd in v4_nodes:
+                    continue
+                v4_nodes.add(nd)
+                for rec in self.node(nd):
+                    if rec < self.node_count:
+                        stack.append(rec)
+        walk: list[tuple[int, int, int]] = [(0, 0, 0)]  # node, prefix(int), depth
+        while walk:
+            node, prefix, depth = walk.pop()
+            left, right = self.node(node)
+            for bit, rec in ((0, left), (1, right)):
+                if depth >= 128:
+                    raise MMDBError("tree deeper than 128 bits")
+                child_prefix = (prefix << 1) | bit
+                if rec == self.node_count:
+                    continue
+                if rec < self.node_count:
+                    if rec in v4_nodes:
+                        continue  # the v4 subtree itself, or an alias to it
+                    walk.append((rec, child_prefix, depth + 1))
+                else:
+                    if rec not in doc_cache:
+                        doc_cache[rec] = self.record_data(rec)
+                    plen = depth + 1
+                    start = child_prefix << (128 - plen)
+                    end = start + (1 << (128 - plen)) - 1
+                    if end < (1 << 32):
+                        continue  # inside ::/96 → IPv4-embedded, not native v6
+                    yield (start.to_bytes(16, "big"), end.to_bytes(16, "big"),
+                           doc_cache[rec])
+
 
 def flatten_doc(doc, prefix: str = "") -> dict:
     """Nested GeoIP2 doc → flat dot-path attrs (list indices become numeric
@@ -337,16 +387,21 @@ class _TrieNode:
         self.right = None
 
 
-def _parse_cidr(cidr: str) -> tuple[int, int]:
-    addr, plen = cidr.split("/")
-    parts = [int(x) for x in addr.split(".")]
-    if len(parts) != 4 or not all(0 <= p <= 255 for p in parts):
-        raise MMDBError(f"bad IPv4 CIDR: {cidr}")
-    val = (parts[0] << 24) | (parts[1] << 16) | (parts[2] << 8) | parts[3]
-    plen = int(plen)
-    if not 0 <= plen <= 32 or val & ((1 << (32 - plen)) - 1 if plen < 32 else 0):
-        raise MMDBError(f"bad IPv4 CIDR: {cidr}")
-    return val, plen
+def _parse_cidr(cidr: str, tree_ip_version: int) -> list[int]:
+    """CIDR (v4 or v6) → the bit path from the tree root. IPv4 networks in
+    a v6 tree live under the 96-zero prefix (the GeoLite2 convention)."""
+    import ipaddress
+    try:
+        net = ipaddress.ip_network(cidr)
+    except ValueError as e:
+        raise MMDBError(f"bad CIDR: {cidr}") from e
+    val, plen, width = int(net.network_address), net.prefixlen, 32 if net.version == 4 else 128
+    if net.version == 6 and tree_ip_version == 4:
+        raise MMDBError(f"IPv6 network {cidr} in an ip_version=4 tree")
+    bits = [(val >> (width - 1 - i)) & 1 for i in range(plen)]
+    if net.version == 4 and tree_ip_version == 6:
+        bits = [0] * 96 + bits
+    return bits
 
 
 def build_mmdb(networks: list[tuple[str, dict]],
@@ -354,11 +409,12 @@ def build_mmdb(networks: list[tuple[str, dict]],
                ip_version: int = 6, record_size: int = 28,
                languages: tuple[str, ...] = ("en",),
                build_epoch: int = 0) -> bytes:
-    """Build a .mmdb from ``(ipv4_cidr, nested_doc)`` pairs.
+    """Build a .mmdb from ``(cidr, nested_doc)`` pairs (IPv4 and/or IPv6).
 
     ``ip_version=6`` (the GeoLite2 layout) stores IPv4 under the 96-zero-bit
-    prefix; ``ip_version=4`` builds a 32-bit tree. Identical docs (by
-    equality) share one data record.
+    prefix and accepts native IPv6 networks; ``ip_version=4`` builds a
+    32-bit tree (IPv4 only). Identical docs (by equality) share one data
+    record.
     """
     root = _TrieNode()
     datas: list[dict] = []
@@ -369,15 +425,12 @@ def build_mmdb(networks: list[tuple[str, dict]],
             data_index[key] = len(datas)
             datas.append(doc)
         idx = data_index[key]
-        val, plen = _parse_cidr(cidr)
-        bits_total = plen + (96 if ip_version == 6 else 0)
+        bits = _parse_cidr(cidr, ip_version)
         node = root
-        for depth in range(bits_total):
-            v4_depth = depth - (96 if ip_version == 6 else 0)
-            bit = 0 if v4_depth < 0 else (val >> (31 - v4_depth)) & 1
+        for depth, bit in enumerate(bits):
             slot = "left" if bit == 0 else "right"
             child = getattr(node, slot)
-            if depth == bits_total - 1:
+            if depth == len(bits) - 1:
                 if isinstance(child, _TrieNode):
                     raise MMDBError(f"{cidr} contains an existing network")
                 if child is not None:

@@ -199,3 +199,80 @@ def test_build_script_is_deterministic(tmp_path):
                       ip_version=6, record_size=28)
     with open(FIXTURE, "rb") as f:
         assert f.read() == blob
+
+
+# ---------------------------------------------------------------------------
+# IPv6 (round 2): native-v6 table + v4-mapped text addresses
+# ---------------------------------------------------------------------------
+
+V6_NETS = [
+    ("66.102.0.0/20", {"city": {"names": {"en": "Mountain View"}},
+                       "country": {"iso_code": "US"},
+                       "location": {"latitude": 37.419200000000004}}),
+    ("2001:db8::/32", {"city": {"names": {"en": "V6 City"}},
+                       "country": {"iso_code": "V6"},
+                       "location": {"latitude": -5.5}}),
+    ("2400:cb00::/32", {"country": {"iso_code": "AU"}}),
+]
+
+
+@pytest.fixture(scope="module")
+def v6_mmdb_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("mmdb") / "v6.mmdb"
+    p.write_bytes(build_mmdb(V6_NETS, ip_version=6))
+    return str(p)
+
+
+def test_ipv6_roundtrip_and_lookup(v6_mmdb_path):
+    db = GeoDatabase.from_mmdb(v6_mmdb_path)
+    assert db.has_ipv6 and len(db.starts6) == 2
+    out = db.lookup_batch(pd.Series([
+        "66.102.3.80", "2001:db8::1234", "2400:cb00:dead::1",
+        "2001:db9::1", "::ffff:66.102.3.80", "not:an:ip::g", "8.8.8.8"]),
+        ["city.names.en", "country.iso_code", "location.latitude"])
+    assert list(out["__hit__"]) == [True, True, True, False, True, False, False]
+    assert out["city_names_en"][1] == "V6 City"
+    assert out["location_latitude"][1] == -5.5
+    assert out["country_iso_code"][2] == "AU" and out["city_names_en"][2] is None
+    assert out["city_names_en"][4] == "Mountain View"  # v4-mapped text
+
+
+def test_ipv6_dump_doc(v6_mmdb_path):
+    db = GeoDatabase.from_mmdb(v6_mmdb_path)
+    assert db.lookup_doc("2001:db8::42")["country"]["iso_code"] == "V6"
+    assert db.lookup_doc("::ffff:66.102.3.80")["country"]["iso_code"] == "US"
+    assert db.lookup_doc("2001:db9::1") is None
+
+
+def test_ipv6_aliases_not_reemitted():
+    """GeoLite2-style trees alias 2002::/16 etc. back at the v4 subtree —
+    the v6 walk must skip them (node-reuse detection), and ::/96-embedded
+    leaves stay out of the v6 table."""
+    from fluent_plugin_geoip_spark.sources.mmdb import MMDBReader
+    blob = build_mmdb(V6_NETS + [("::1/128", {"country": {"iso_code": "LO"}})],
+                      ip_version=6)
+    r = MMDBReader.from_bytes(blob)
+    v4 = list(r.iter_ipv4_ranges())
+    v6 = list(r.iter_ipv6_ranges())
+    assert len(v6) == 2                      # only the two native-v6 nets
+    assert len(v4) == 2                      # 66.102/20 + ::1 → v4 key 1
+    assert {s for s, _, _ in v4} == {1, (66 << 24) | (102 << 16)}
+
+
+def test_ipv6_enrich_end_to_end(spark, v6_mmdb_path):
+    """v6-capable DB flips the enricher to the string input path; v4 and v6
+    addresses enrich in one batch."""
+    cfg = GeoipConfig(
+        lookup_keys=["host"], geoip2_database=v6_mmdb_path,
+        records={"city": "${city.names.en['host']}",
+                 "country": "${country.iso_code['host']}"})
+    enr = GeoipEnricher(spark, cfg)
+    df = spark.createDataFrame(
+        [("66.102.3.80",), ("2001:db8::99",), ("203.0.113.1",)],
+        T.StructType([T.StructField("host", T.StringType())]))
+    out = [r.asDict() for r in enr.transform(df).orderBy("host").collect()]
+    by_host = {r["host"]: r for r in out}
+    assert by_host["66.102.3.80"]["city"] == "Mountain View"
+    assert by_host["2001:db8::99"]["city"] == "V6 City"
+    assert by_host["2001:db8::99"]["country"] == "V6"
+    assert by_host["203.0.113.1"]["city"] is None
