@@ -17,6 +17,8 @@ after sorting columns by name).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..config import GeoipConfig
@@ -273,6 +275,50 @@ SELECT l_returnflag, l_linestatus,
        CAST(count(*) AS BIGINT) AS count_order
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# J1 through a REAL MaxMind database file: enrich via the committed .mmdb
+# fixture (tests/fixtures/geolite2-city-test.mmdb, GeoLite2 layout) so the
+# from-scratch mmdb reader sits under the driver's hard oracle gate. The
+# oracle is the fixture's golden literals (reference test:258-291, 456-480).
+_MMDB_FIXTURE = os.path.normpath(os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "..", "..", "tests",
+    "fixtures", "geolite2-city-test.mmdb"))
+
+_MMDB_TEST_IPS = ["66.102.3.80", "8.8.8.8", "125.54.15.42",
+                  "180.94.85.84", "203.0.113.1", ""]
+
+
+def q_geoip_mmdb_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.geolookup import GeoDatabase
+    db = GeoDatabase.from_mmdb(_MMDB_FIXTURE)
+    df = _events(spark, sf_dir).withColumn(
+        "ip", F.element_at(F.array(*[F.lit(s) for s in _MMDB_TEST_IPS]),
+                           (F.col("event_id") % 6).cast("int") + 1))
+    cfg = GeoipConfig(lookup_keys=["ip"], records={
+        "city": "${city.names.en['ip']}",
+        "country": "${country.iso_code['ip']}",
+        "latitude": "${location.latitude['ip']}",
+    })
+    out = GeoipEnricher(spark, cfg, db).transform(df)
+    return out.select("event_id", "city", "country", "latitude")
+
+
+ORACLE_MMDB_ENRICH = """
+SELECT event_id,
+       CASE event_id % 6 WHEN 0 THEN 'Mountain View'
+                         WHEN 2 THEN 'Tokorozawa' END AS city,
+       CASE event_id % 6 WHEN 0 THEN 'US' WHEN 1 THEN 'US'
+                         WHEN 2 THEN 'JP' END AS country,
+       CASE event_id % 6 WHEN 0 THEN 3.7419200000000004E1  -- double literal:
+                         -- a plain decimal literal is DECIMAL in DuckDB and
+                         -- loses the trailing ulp digits
+                         WHEN 1 THEN 0.0E0  -- hit, attr nil -> 0.0 default
+                         WHEN 2 THEN 0.0E0
+                         WHEN 3 THEN 0.0E0  -- empty-doc hit
+                         END AS latitude
+FROM events
 """
 
 
@@ -680,6 +726,7 @@ QUERIES = {
     "json_props_rollup": q_json_props_rollup,
     "agg_pricing_summary": q_agg_pricing_summary,
     "geoip_compat_enrich": q_geoip_compat_enrich,
+    "geoip_mmdb_enrich": q_geoip_mmdb_enrich,
     "dedup_profile": q_dedup_profile,
     "token_counts": q_token_counts,
     "text_quality_counts": q_text_quality_counts,
@@ -704,6 +751,7 @@ ORACLES = {
     "json_props_rollup": ORACLE_JSON_PROPS,
     "agg_pricing_summary": ORACLE_PRICING,
     "geoip_compat_enrich": ORACLE_COMPAT_ENRICH,
+    "geoip_mmdb_enrich": ORACLE_MMDB_ENRICH,
     "dedup_profile": ORACLE_DEDUP_PROFILE,
     "token_counts": ORACLE_TOKEN_COUNTS,
     "text_quality_counts": ORACLE_TEXT_QUALITY,
