@@ -96,9 +96,92 @@ def encode_ppm(pixels: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + pixels.astype(np.uint8).tobytes()
 
 
+def decode_wav(payload: bytes) -> np.ndarray:
+    """RIFF/WAVE PCM → (n_samples, n_channels) int32 array, pure NumPy.
+
+    Parses the public RIFF container: ``RIFF<size>WAVE`` then chunks; reads
+    the ``fmt `` chunk (PCM format 1, 8/16/32-bit) and the ``data`` chunk.
+    No audio libraries needed — WAV PCM is raw samples behind a 44-byte-ish
+    header.
+    """
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    n_channels = int.from_bytes(fmt[2:4], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1:
+        raise ValueError(f"only PCM WAV supported (format={audio_format})")
+    dtype = {8: np.uint8, 16: np.int16, 32: np.int32}.get(bits)
+    if dtype is None:
+        raise ValueError(f"unsupported PCM bit depth {bits}")
+    samples = np.frombuffer(data, dtype=dtype).astype(np.int32)
+    if bits == 8:  # 8-bit WAV is unsigned, centre at 0
+        samples = samples - 128
+    n = len(samples) // n_channels
+    return samples[: n * n_channels].reshape(n, n_channels)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """(n, channels) int16 → RIFF/WAVE PCM bytes."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    body = samples.astype("<i2").tobytes()
+    byte_rate = sample_rate * ch * 2
+    fmt = (b"fmt " + (16).to_bytes(4, "little")
+           + (1).to_bytes(2, "little") + ch.to_bytes(2, "little")
+           + sample_rate.to_bytes(4, "little") + byte_rate.to_bytes(4, "little")
+           + (ch * 2).to_bytes(2, "little") + (16).to_bytes(2, "little"))
+    data = b"data" + len(body).to_bytes(4, "little") + body
+    riff_body = b"WAVE" + fmt + data
+    return b"RIFF" + len(riff_body).to_bytes(4, "little") + riff_body
+
+
 DECODERS: dict[str, Callable[[bytes], np.ndarray]] = {
     "image/ppm": decode_ppm,
     "image/x-portable-pixmap": decode_ppm,
+}
+
+AUDIO_DECODERS: dict[str, Callable[[bytes], np.ndarray]] = {
+    "audio/wav": decode_wav,
+    "audio/x-wav": decode_wav,
+}
+
+
+def decode_ppm_stream(payload: bytes) -> list[np.ndarray]:
+    """Concatenated binary-PPM frames → list of (h, w, 3) uint8 arrays.
+
+    ``video/x-ppm-stream`` is this engine's raw uncompressed video carrier
+    (real containers need ffmpeg, absent here): each frame is a complete P6
+    image, frames are simply concatenated. Decoding walks the headers."""
+    frames, pos = [], 0
+    while pos < len(payload):
+        if payload[pos:pos + 2] != b"P6":
+            raise ValueError(f"bad frame header at offset {pos}")
+        frame = decode_ppm(payload[pos:])
+        h, w, _ = frame.shape
+        # size of this frame's encoding: header is everything before the
+        # pixel block; re-derive it from the canonical writer form
+        hdr = b"P6\n%d %d\n255\n" % (w, h)
+        pos += len(hdr) + w * h * 3
+        frames.append(frame)
+    return frames
+
+
+VIDEO_DECODERS: dict[str, Callable[[bytes], list[np.ndarray]]] = {
+    "video/x-ppm-stream": decode_ppm_stream,
 }
 
 
@@ -185,6 +268,136 @@ def generate_ppm_images(spark, n: int, width: int = 8,
                 "payload": rows})
 
     return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def generate_wav_audio(spark, n: int, n_samples: int = 256,
+                       sample_rate: int = 16000) -> DataFrame:
+    """n real mono PCM WAV clips with formula samples — sample i of clip
+    ``id`` is ``((id*37 + i*11) % 2001) - 1000``. Exactly recomputable by
+    any engine, and genuinely decoded from RIFF bytes on the Spark side."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        i = np.arange(n_samples, dtype=np.int64)
+        for pdf in batches:
+            rows = [encode_wav((((mid * 37 + i * 11) % 2001) - 1000)
+                               .astype(np.int16), sample_rate)
+                    for mid in pdf["id"]]
+            yield pd.DataFrame({
+                "media_id": pdf["id"], "kind": "audio", "mime": "audio/wav",
+                "width": pd.array([None] * len(pdf), dtype="Int32"),
+                "height": pd.array([None] * len(pdf), dtype="Int32"),
+                "duration_ms": np.int64(n_samples * 1000 // sample_rate),
+                "payload": rows})
+
+    return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+AUDIO_STATS_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("n_samples", T.IntegerType(), False),
+    T.StructField("n_channels", T.IntegerType(), False),
+    T.StructField("sum_abs", T.LongType(), False),
+    T.StructField("sum_sq", T.LongType(), False),
+    T.StructField("zero_crossings", T.LongType(), False),
+])
+
+
+def audio_stats(df: DataFrame) -> DataFrame:
+    """audio → exact integer sample statistics (Σ|s|, Σs², zero crossings)
+    decoded from the RIFF bytes — all-integer so the DuckDB oracle
+    recomputes it exactly (the audio counterpart of ``image_stats``)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {k: [] for k in ("media_id", "n_samples", "n_channels",
+                                   "sum_abs", "sum_sq", "zero_crossings")}
+            for mid, p, m in zip(pdf["media_id"], pdf["payload"], pdf["mime"]):
+                dec = AUDIO_DECODERS.get(m or "")
+                if dec is None:
+                    raise NotImplementedError(
+                        f"no audio decoder registered for mime {m!r}")
+                s = dec(p).astype(np.int64)
+                mono = s[:, 0]
+                out["media_id"].append(mid)
+                out["n_samples"].append(s.shape[0])
+                out["n_channels"].append(s.shape[1])
+                out["sum_abs"].append(int(np.abs(s).sum()))
+                out["sum_sq"].append(int((s * s).sum()))
+                out["zero_crossings"].append(
+                    int(((mono[1:] * mono[:-1]) < 0).sum()))
+            yield pd.DataFrame(out)
+
+    return (df.filter(F.col("kind") == "audio")
+            .select("media_id", "mime", "payload")
+            .mapInPandas(run, AUDIO_STATS_SCHEMA))
+
+
+def generate_ppm_video(spark, n: int, frames: int = 8, width: int = 8,
+                       height: int = 8, frame_ms: int = 1000) -> DataFrame:
+    """n real raw videos (``video/x-ppm-stream``): frame f, flat pixel i of
+    video ``id`` has channels ``(id*31 + f*19 + i*7) % 256`` /
+    ``(id*17 + f*23 + i*11) % 256`` / ``(id*13 + f*29 + i*5) % 256`` —
+    exactly recomputable, genuinely decoded from bytes."""
+    npix = width * height
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        i = np.arange(npix, dtype=np.int64)
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                parts = []
+                for f in range(frames):
+                    px = np.empty((npix, 3), dtype=np.uint8)
+                    px[:, 0] = (mid * 31 + f * 19 + i * 7) % 256
+                    px[:, 1] = (mid * 17 + f * 23 + i * 11) % 256
+                    px[:, 2] = (mid * 13 + f * 29 + i * 5) % 256
+                    parts.append(encode_ppm(px.reshape(height, width, 3)))
+                rows.append(b"".join(parts))
+            yield pd.DataFrame({
+                "media_id": pdf["id"], "kind": "video",
+                "mime": "video/x-ppm-stream",
+                "width": np.int32(width), "height": np.int32(height),
+                "duration_ms": np.int64(frames * frame_ms),
+                "payload": rows})
+
+    return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+VIDEO_FRAME_STATS_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("frame_idx", T.IntegerType(), False),
+    T.StructField("sum_gray", T.LongType(), False),
+])
+
+
+def video_frame_stats(df: DataFrame, every: int = 1) -> DataFrame:
+    """video → per-sampled-frame exact gray sums, decoded from real frame
+    bytes (frame sampling with actual decode; ``every`` subsamples)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {"media_id": [], "frame_idx": [], "sum_gray": []}
+            for mid, p, m in zip(pdf["media_id"], pdf["payload"], pdf["mime"]):
+                dec = VIDEO_DECODERS.get(m or "")
+                if dec is None:
+                    raise NotImplementedError(
+                        f"no video decoder registered for mime {m!r}")
+                for f, frame in enumerate(dec(p)):
+                    if f % every:
+                        continue
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(f)
+                    out["sum_gray"].append(
+                        int(decode_ppm_gray(frame.astype(np.int64)).sum()))
+            yield pd.DataFrame(out)
+
+    return (df.filter(F.col("kind") == "video")
+            .select("media_id", "mime", "payload")
+            .mapInPandas(run, VIDEO_FRAME_STATS_SCHEMA))
 
 
 # ---------------------------------------------------------------------------

@@ -716,6 +716,51 @@ FROM agg a JOIN bits b USING (media_id)
 """
 
 
+def q_multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode certified end to end: formula-sample PCM WAV →
+    pure-NumPy RIFF parse → exact integer stats; the oracle restates the
+    sample formula in SQL."""
+    from ..operators.multimodal import audio_stats, generate_wav_audio
+    return audio_stats(generate_wav_audio(spark, 200))
+
+
+ORACLE_MULTIMODAL_AUDIO = """
+WITH smp AS (
+  SELECT t.id AS media_id, s.i AS i,
+         ((t.id * 37 + s.i * 11) % 2001) - 1000 AS v
+  FROM range(200) t(id) CROSS JOIN range(256) s(i)
+), lagged AS (
+  SELECT media_id, i, v,
+         lag(v) OVER (PARTITION BY media_id ORDER BY i) AS pv
+  FROM smp
+)
+SELECT media_id, CAST(256 AS INT) AS n_samples, CAST(1 AS INT) AS n_channels,
+       CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+       CAST(sum(v * v) AS BIGINT) AS sum_sq,
+       CAST(sum(CASE WHEN pv IS NOT NULL AND v * pv < 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS zero_crossings
+FROM lagged GROUP BY media_id
+"""
+
+
+def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling certified end to end: raw concatenated-PPM
+    video → per-frame decode → exact gray sums."""
+    from ..operators.multimodal import generate_ppm_video, video_frame_stats
+    return video_frame_stats(generate_ppm_video(spark, 150))
+
+
+ORACLE_MULTIMODAL_VIDEO = """
+SELECT t.id AS media_id, CAST(f.f AS INT) AS frame_idx,
+       CAST(sum((  (t.id * 31 + f.f * 19 + s.i * 7) % 256
+                 + (t.id * 17 + f.f * 23 + s.i * 11) % 256
+                 + (t.id * 13 + f.f * 29 + s.i * 5) % 256) // 3)
+            AS BIGINT) AS sum_gray
+FROM range(150) t(id) CROSS JOIN range(8) f(f) CROSS JOIN range(64) s(i)
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "geoip_enrich_country_counts": q_geoip_enrich_country_counts,
     "geoip_enrich_values": q_geoip_enrich_values,
@@ -739,6 +784,8 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "ann_lsh_topk": q_ann_lsh_topk,
     "multimodal_features": q_multimodal_features,
+    "multimodal_audio_stats": q_multimodal_audio_stats,
+    "multimodal_video_frames": q_multimodal_video_frames,
 }
 
 ORACLES = {
@@ -764,4 +811,6 @@ ORACLES = {
     "ann_lsh_topk": _ann_oracle_sql(),
     "dedup_simhash": ORACLE_SIMHASH,
     "dedup_minhash_lsh": ORACLE_MINHASH,
+    "multimodal_audio_stats": ORACLE_MULTIMODAL_AUDIO,
+    "multimodal_video_frames": ORACLE_MULTIMODAL_VIDEO,
 }

@@ -315,3 +315,42 @@ def test_cosine_topk_query_guard(spark):
     e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     with pytest.raises(ValueError, match="max_queries"):
         similarity.cosine_topk(e, e, k=3, max_queries=10)
+
+
+def test_wav_decode_roundtrip():
+    import numpy as np
+    rng = np.random.default_rng(5)
+    s = rng.integers(-32768, 32767, size=(300, 2)).astype(np.int16)
+    out = multimodal.decode_wav(multimodal.encode_wav(s))
+    assert out.shape == (300, 2) and (out == s).all()
+    with pytest.raises(ValueError, match="RIFF"):
+        multimodal.decode_wav(b"not audio")
+
+
+def test_real_wav_audio_stats(spark):
+    import numpy as np
+    media = multimodal.generate_wav_audio(spark, 30)
+    stats = {r.media_id: r for r in multimodal.audio_stats(media).collect()}
+    assert len(stats) == 30
+    i = np.arange(256, dtype=np.int64)
+    for mid in (0, 13, 29):
+        v = ((mid * 37 + i * 11) % 2001) - 1000
+        assert stats[mid].sum_abs == int(np.abs(v).sum())
+        assert stats[mid].sum_sq == int((v * v).sum())
+        assert stats[mid].zero_crossings == int(((v[1:] * v[:-1]) < 0).sum())
+
+
+def test_ppm_stream_video_frames(spark):
+    import numpy as np
+    media = multimodal.generate_ppm_video(spark, 10, frames=4)
+    rows = multimodal.video_frame_stats(media).collect()
+    assert len(rows) == 40
+    by_key = {(r.media_id, r.frame_idx): r.sum_gray for r in rows}
+    i = np.arange(64, dtype=np.int64)
+    for mid, f in ((0, 0), (7, 3)):
+        g = ((mid * 31 + f * 19 + i * 7) % 256
+             + (mid * 17 + f * 23 + i * 11) % 256
+             + (mid * 13 + f * 29 + i * 5) % 256) // 3
+        assert by_key[(mid, f)] == int(g.sum())
+    # subsampling
+    assert multimodal.video_frame_stats(media, every=2).count() == 20
