@@ -19,4 +19,4 @@ Everything is DataFrame-declarative so Catalyst handles pushdown, pruning and
 whole-stage codegen; Python appears only in Arrow-batched pandas UDFs.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

@@ -125,9 +125,13 @@ def run_level(cpus: int, n: int, mode: str) -> dict:
     try:
         cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c",
                _CHILD.format(repo=REPO), str(cpus), str(n), mode, workdir]
-        out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
-        line = out.stdout.strip().splitlines()[-1]
-        return json.loads(line)
+        out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+        lines = out.stdout.strip().splitlines()
+        if not lines:
+            raise RuntimeError(
+                f"scaling child produced no output (rc={out.returncode}); "
+                f"stderr tail: {out.stderr[-2000:]}")
+        return json.loads(lines[-1])
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
