@@ -354,3 +354,17 @@ def test_ppm_stream_video_frames(spark):
         assert by_key[(mid, f)] == int(g.sum())
     # subsampling
     assert multimodal.video_frame_stats(media, every=2).count() == 20
+
+
+def test_lsh_bucket_pandas_matches_jvm(spark):
+    """The Arrow matmul bucket kernel and the JVM per-bit fold must assign
+    identical buckets (sign-of-dot parity)."""
+    import numpy as np
+    from fluent_plugin_geoip_spark.operators.similarity import (
+        _hyperplanes, lsh_bucket_pandas, lsh_signature_col)
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    planes = _hyperplanes(64, 8, 42)
+    both = e.select(
+        lsh_bucket_pandas("embedding", planes).alias("arrow"),
+        lsh_signature_col("embedding", planes).alias("jvm"))
+    assert both.filter(F.col("arrow") != F.col("jvm")).count() == 0
