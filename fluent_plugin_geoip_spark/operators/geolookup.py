@@ -274,8 +274,12 @@ class GeoDatabase:
         return out
 
     def _parse_v6(self, ips: pd.Series):
-        """Indices + packed 16-byte keys of parseable IPv6 strings; v4-mapped
-        addresses are returned separately as (index, uint32)."""
+        """Indices + packed 16-byte keys of parseable IPv6 strings; addresses
+        living in the v4 subtree — v4-mapped ``::ffff:a.b.c.d`` AND
+        IPv4-compatible ``::a.b.c.d`` (first 96 bits zero) — are returned
+        separately as (index, uint32). libmaxminddb walks the tree, so both
+        prefixes land on the IPv4 data; ``iter_ipv6_ranges`` excludes ::/96
+        from the v6 table for the same reason."""
         import socket
         idx, keys, v4map = [], [], []
         for i, v in enumerate(ips):
@@ -285,7 +289,7 @@ class GeoDatabase:
                 b = socket.inet_pton(socket.AF_INET6, v)
             except OSError:
                 continue
-            if b[:10] == b"\x00" * 10 and b[10:12] == b"\xff\xff":
+            if b[:10] == b"\x00" * 10 and b[10:12] in (b"\xff\xff", b"\x00\x00"):
                 v4map.append((i, int.from_bytes(b[12:], "big")))
             else:
                 idx.append(i)

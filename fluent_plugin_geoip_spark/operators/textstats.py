@@ -142,12 +142,18 @@ def lang_id_pandas(text: Column, default: str = "und") -> Column:
     Narrow map — scales linearly with executors."""
     langs = list(LANG_MARKERS)
     sets = [frozenset(LANG_MARKERS[lang]) for lang in langs]
+    # Java \s (the native lang_id path) is ASCII-only: [ \t\n\x0B\f\r].
+    # Python str.split() splits on Unicode whitespace (NBSP, U+2028, …),
+    # which would break the pinned parity on such documents — tokenize with
+    # the same ASCII class instead.
+    import re as _re
+    ws = _re.compile(r"[ \t\n\r\f\x0b]+")
 
     @F.pandas_udf(T.StringType())
     def _vote(s: pd.Series) -> pd.Series:
         out = []
         for txt in s:
-            toks = str(txt or "").lower().split()
+            toks = ws.split(str(txt or "").lower())
             counts = [sum(1 for t in toks if t in st) for st in sets]
             m = max(counts)
             out.append(langs[counts.index(m)] if m > 0 else default)

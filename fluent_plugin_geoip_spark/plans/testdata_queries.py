@@ -44,15 +44,16 @@ def world_ranges_values_sql(alias: str = "r") -> str:
             "(range_start, range_end, country, city, latitude, longitude)")
 
 
-def _ip_int_expr(col: str):
-    # (col * MIX) % 2^32 without int64 overflow: Spark wraps silently while
-    # DuckDB promotes to HUGEINT, so a plain multiply diverges once
+def _ip_int_expr(col: str, add: int = 0):
+    # (col * MIX + add) % 2^32 without int64 overflow: Spark wraps silently
+    # while DuckDB promotes to HUGEINT, so a plain multiply diverges once
     # col ≳ 3.5e9. Split the multiplicand into 16-bit halves and reduce
-    # mod 2^32 at every step — all intermediates stay < 2^48.
+    # mod 2^32 at every step — all intermediates stay < 2^49.
     c = F.pmod(F.col(col), F.lit(_M32))          # only col mod 2^32 matters
     lo = c.bitwiseAND(F.lit(0xFFFF))             # ≤ 2^16 → lo*MIX < 2^48
     hi = F.shiftright(c, 16)                     # ≤ 2^16 → hi*MIX < 2^48
-    return F.pmod(lo * F.lit(_MIX) + F.pmod(hi * F.lit(_MIX), F.lit(_M32)) * F.lit(1 << 16),
+    return F.pmod(lo * F.lit(_MIX) + F.pmod(hi * F.lit(_MIX), F.lit(_M32)) * F.lit(1 << 16)
+                  + F.lit(add % _M32),
                   F.lit(_M32))
 
 
@@ -131,7 +132,7 @@ LEFT JOIN {world_ranges_values_sql()}
 def q_geoip_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = (_events(spark, sf_dir)
           .withColumn("ip_origin", _ip_str(_ip_int_expr("event_id")))
-          .withColumn("ip_dest", _ip_str((F.col("user_id") * F.lit(_MIX) + F.lit(12345)) % F.lit(_M32))))
+          .withColumn("ip_dest", _ip_str(_ip_int_expr("user_id", add=12345))))
     enr = _enricher(spark, {
         "origin_country": "${country.iso_code['ip_origin']}",
         "dest_country": "${country.iso_code['ip_dest']}",
@@ -554,7 +555,12 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import minhash_lsh_dedup
     d = _documents(spark, sf_dir)
     return (minhash_lsh_dedup(d, threshold=0.8, bands=32, rows=4,
-                              num_hashes=128, exact_grams=True)
+                              num_hashes=128, exact_grams=True,
+                              # the oracle enumerates ALL J≥0.8 pairs, so the
+                              # production skew cap must be lifted here (its
+                              # semantics are pytest-covered separately) —
+                              # same reason q_dedup_simhash lifts it
+                              max_bucket=1_000_000)
             .select("id_a", "id_b", "jaccard").orderBy("id_a", "id_b"))
 
 

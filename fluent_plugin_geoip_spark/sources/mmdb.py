@@ -107,7 +107,11 @@ def decode_value(buf: bytes, offset: int, data_start: int = 0,
     if typ in (_T_U16, _T_U32, _T_U64, _T_U128):
         return int.from_bytes(buf[offset:offset + size], "big"), offset + size
     if typ == _T_I32:
-        return (int.from_bytes(buf[offset:offset + size], "big", signed=True)
+        # spec + official readers zero-pad short int32 to 4 bytes, so a
+        # 3-byte 0xFFFFFF is +16777215, not -1: only a full 4-byte value
+        # can carry the sign bit
+        return (int.from_bytes(buf[offset:offset + size], "big",
+                               signed=(size == 4))
                 if size else 0), offset + size
     if typ == _T_MAP:
         out = {}

@@ -237,6 +237,31 @@ def test_ipv6_roundtrip_and_lookup(v6_mmdb_path):
     assert out["city_names_en"][4] == "Mountain View"  # v4-mapped text
 
 
+def test_ipv4_compatible_text_hits_v4_table(v6_mmdb_path):
+    """IPv4-compatible ``::a.b.c.d`` (first 96 bits zero) must land on the
+    IPv4 data like libmaxminddb's tree walk does — the v6 table deliberately
+    excludes ::/96, so without the redirect these always missed (ADVICE r2)."""
+    db = GeoDatabase.from_mmdb(v6_mmdb_path)
+    out = db.lookup_batch(pd.Series(["::66.102.3.80", "::203.0.113.1"]),
+                          ["city.names.en", "country.iso_code"])
+    assert list(out["__hit__"]) == [True, False]
+    assert out["city_names_en"][0] == "Mountain View"
+    assert db.lookup_doc("::66.102.3.80")["country"]["iso_code"] == "US"
+
+
+def test_int32_short_width_decodes_unsigned():
+    """Spec/official readers zero-pad short int32: a 3-byte 0xFFFFFF is
+    +16777215, not -1; only size==4 carries the sign bit (ADVICE r2)."""
+    from fluent_plugin_geoip_spark.sources.mmdb import decode_value
+    # ctrl byte: extended type (0<<5)|size, then ext byte int32 (8-7=1)
+    blob3 = bytes([(0 << 5) | 3, 1]) + b"\xff\xff\xff"
+    assert decode_value(blob3, 0)[0] == 0xFFFFFF
+    blob4 = bytes([(0 << 5) | 4, 1]) + b"\xff\xff\xff\xff"
+    assert decode_value(blob4, 0)[0] == -1
+    blob0 = bytes([(0 << 5) | 0, 1])
+    assert decode_value(blob0, 0)[0] == 0
+
+
 def test_ipv6_dump_doc(v6_mmdb_path):
     db = GeoDatabase.from_mmdb(v6_mmdb_path)
     assert db.lookup_doc("2001:db8::42")["country"]["iso_code"] == "V6"

@@ -299,9 +299,13 @@ def test_lang_id_pandas_parity(spark):
         textstats.lang_id_pandas(F.col("text")).alias("arrow"))
     mismatches = both.filter(F.col("native") != F.col("arrow")).count()
     assert mismatches == 0
-    # edge cases: empty / whitespace / ties / no-hit
+    # edge cases: empty / whitespace / ties / no-hit / UNICODE whitespace
+    # (Java \s is ASCII-only — NBSP / U+2028 / ideographic space must NOT
+    # act as token separators on either path, ADVICE r2)
     rows = [("",), ("   ",), ("zzz qqq xxx",), ("the der le el",),
-            ("the the der",), ("für nicht und der",)]
+            ("the the der",), ("für nicht und der",),
+            ("the der the",), ("la le la",), ("el　el es",),
+            ("the the",)]
     df = spark.createDataFrame(rows, "text string")
     out = df.select(textstats.lang_id(F.col("text")).alias("n"),
                     textstats.lang_id_pandas(F.col("text")).alias("a")).collect()
