@@ -24,8 +24,8 @@ Subcommand ``dump`` (counterpart of the reference's utils/dump.rb:18-27 —
 print the raw per-backend lookup document for one or more IPs; driver-side
 only, no Spark session):
 
-    python -m fluent_plugin_geoip_spark dump [--mmdb PATH] \\
-        [--backend geoip2_c|geoip2_compat] 66.102.3.80 ...
+    python -m fluent_plugin_geoip_spark dump [--mmdb PATH | --dat PATH] \\
+        [--backend geoip2_c|geoip2_compat|geoip] 66.102.3.80 ...
 """
 
 from __future__ import annotations
@@ -41,13 +41,21 @@ def dump_main(argv: list[str]) -> int:
     p = argparse.ArgumentParser(prog="fluent_plugin_geoip_spark dump")
     p.add_argument("ips", nargs="+", metavar="IP")
     p.add_argument("--mmdb", help=".mmdb path (default: bundled fixture DB)")
+    p.add_argument("--dat", help="legacy GeoCityLite .dat path "
+                                 "(implies --backend geoip)")
     p.add_argument("--backend", default="geoip2_c",
-                   choices=["geoip2_c", "geoip2_compat"])
+                   choices=["geoip2_c", "geoip2_compat", "geoip"])
     args = p.parse_args(argv)
 
     from .operators.geolookup import GeoDatabase
-    if args.mmdb:
+    if args.dat:
+        args.backend = "geoip"
+        db = GeoDatabase.from_dat(args.dat)
+    elif args.mmdb:
         db = GeoDatabase.from_mmdb(args.mmdb, profile=args.backend)
+    elif args.backend == "geoip":
+        from .sources.fixtures import geoip_legacy_db
+        db = geoip_legacy_db()
     else:
         from .sources.fixtures import geoip2_city_db, geoip2_compat_db
         db = (geoip2_city_db() if args.backend == "geoip2_c"

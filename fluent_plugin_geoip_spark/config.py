@@ -126,6 +126,10 @@ class GeoipConfig:
     # filter_geoip.rb:41-43); loaded by GeoDatabase.from_mmdb when the
     # enricher is built without an explicit database.
     geoip2_database: str | None = None
+    # Path to a legacy GeoCityLite .dat — the reference DEFAULT backend's
+    # file (filter_geoip.rb:37, load at rb:204-206); used when
+    # backend_library == 'geoip'.
+    geoip_database: str | None = None
     # Spark-only knob: use native double→string cast in interpolation mode
     # (fast, JVM-side) instead of the byte-exact Ruby-repr pandas UDF.
     fast_float_str: bool = False
@@ -151,13 +155,21 @@ class GeoipConfig:
             backend_library=conf.pop("backend_library", "geoip2_c"),
             skip_adding_null_record=bool(conf.pop("skip_adding_null_record", False)),
             geoip2_database=conf.pop("geoip2_database", None),
+            geoip_database=conf.pop("geoip_database", None),
         )
 
     def load_database(self):
-        """Resolve the lookup database from config (``geoip2_database``
-        path → ``GeoDatabase.from_mmdb``), mirroring the reference's
-        load-at-configure (filter_geoip.rb:204-217)."""
+        """Resolve the lookup database from config, mirroring the reference's
+        per-backend load-at-configure (filter_geoip.rb:204-217): backend
+        ``geoip`` reads the legacy ``geoip_database`` .dat, the GeoIP2
+        backends read the ``geoip2_database`` .mmdb."""
         from .operators.geolookup import GeoDatabase
+        if self.backend_library == "geoip":
+            if not self.geoip_database:
+                raise GeoipConfigError(
+                    "backend 'geoip' needs geoip_database (a legacy .dat "
+                    "path) or an explicit GeoDatabase")
+            return GeoDatabase.from_dat(self.geoip_database)
         if not self.geoip2_database:
             raise GeoipConfigError(
                 "no database configured: set geoip2_database or pass a "

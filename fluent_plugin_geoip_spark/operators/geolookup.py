@@ -158,8 +158,9 @@ class GeoDatabase:
         from ..sources.mmdb import MMDBReader, flatten_doc
         if profile == "geoip":
             raise ValueError(
-                "the legacy 'geoip' backend reads GeoCityLite .dat files; "
-                ".mmdb loading supports geoip2_c / geoip2_compat")
+                "the legacy 'geoip' backend reads GeoCityLite .dat files — "
+                "use GeoDatabase.from_dat; .mmdb loading supports "
+                "geoip2_c / geoip2_compat")
         reader = MMDBReader.open(path)
 
         def project(doc: dict) -> dict:
@@ -214,6 +215,25 @@ class GeoDatabase:
                 else:
                     db.attrs6[k] = np.array(vals, dtype=object)
         return db
+
+    @classmethod
+    def from_dat(cls, path: str) -> "GeoDatabase":
+        """Load a legacy GeoCityLite ``.dat`` file — the reference's DEFAULT
+        backend config surface (``geoip_database`` + ``backend_library
+        geoip``, filter_geoip.rb:37, 204-206).
+
+        The binary tree is walked once on the driver into the sorted range
+        arrays (``sources.dat``, a from-scratch reader of the public legacy
+        format); attrs are the flat legacy keys with the C library's
+        single-precision coordinates (the reference's 37.4192008972168
+        golden, test_filter_geoip.rb:1024-1027). Always profile ``geoip``
+        (the whitelist the reference enforces for this backend, rb:93-95).
+        """
+        from ..sources.dat import DATReader
+        reader = DATReader.open(path)
+        rows = [{"range_start": s, "range_end": e, **attrs}
+                for s, e, attrs in reader.iter_ipv4_ranges()]
+        return cls.from_rows(rows, profile="geoip")
 
     def attr_type(self, attr_path: str) -> str:
         return attr_dtype(self.profile, attr_path, self.dtypes)

@@ -323,6 +323,52 @@ FROM events
 """
 
 
+# J1 through a REAL legacy GeoCityLite .dat file: enrich via the committed
+# fixture (tests/fixtures/geolite-city-test.dat, CITY_EDITION_REV1) so the
+# from-scratch legacy reader sits under the driver's hard oracle gate — the
+# reference's DEFAULT backend (filter_geoip.rb:37, 204-206). The oracle is
+# the fixture's golden literals at the C library's single-precision
+# (test_filter_geoip.rb:1024-1027).
+_DAT_FIXTURE = os.path.normpath(os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "..", "..", "tests",
+    "fixtures", "geolite-city-test.dat"))
+
+
+def q_geoip_dat_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.geolookup import GeoDatabase
+    db = GeoDatabase.from_dat(_DAT_FIXTURE)
+    df = _events(spark, sf_dir).withColumn(
+        "ip", F.element_at(F.array(*[F.lit(s) for s in _MMDB_TEST_IPS]),
+                           (F.col("event_id") % 6).cast("int") + 1))
+    cfg = GeoipConfig(lookup_keys=["ip"], backend_library="geoip",
+                      records={
+                          "city": "${city['ip']}",
+                          "country3": "${country_code3['ip']}",
+                          "latitude": "${latitude['ip']}",
+                          "dma": "${dma_code['ip']}",
+                      })
+    out = GeoipEnricher(spark, cfg, db).transform(df)
+    return out.select("event_id", "city", "country3", "latitude", "dma")
+
+
+ORACLE_DAT_ENRICH = """
+SELECT event_id,
+       CASE event_id % 6 WHEN 0 THEN 'Mountain View'
+                         WHEN 2 THEN 'Tokorozawa' END AS city,
+       CASE event_id % 6 WHEN 0 THEN 'USA' WHEN 1 THEN 'USA'
+                         WHEN 2 THEN 'JPN' END AS country3,
+       CASE event_id % 6 WHEN 0 THEN 3.74192008972168E1  -- float32 of the
+                         -- stored fixed-point coord, promoted to double —
+                         -- the legacy C library precision (test:1024)
+                         WHEN 1 THEN 0.0E0  -- hit, attr nil -> 0.0 default
+                         WHEN 2 THEN 0.0E0
+                         WHEN 3 THEN 0.0E0  -- empty-record hit
+                         END AS latitude,
+       CAST(CASE event_id % 6 WHEN 0 THEN 807 END AS INTEGER) AS dma
+FROM events
+"""
+
+
 # compat-backend enrich (flat attr whitelist path)
 def q_geoip_compat_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.fixtures import world_compat_db
@@ -778,6 +824,7 @@ QUERIES = {
     "agg_pricing_summary": q_agg_pricing_summary,
     "geoip_compat_enrich": q_geoip_compat_enrich,
     "geoip_mmdb_enrich": q_geoip_mmdb_enrich,
+    "geoip_dat_enrich": q_geoip_dat_enrich,
     "dedup_profile": q_dedup_profile,
     "token_counts": q_token_counts,
     "text_quality_counts": q_text_quality_counts,
@@ -805,6 +852,7 @@ ORACLES = {
     "agg_pricing_summary": ORACLE_PRICING,
     "geoip_compat_enrich": ORACLE_COMPAT_ENRICH,
     "geoip_mmdb_enrich": ORACLE_MMDB_ENRICH,
+    "geoip_dat_enrich": ORACLE_DAT_ENRICH,
     "dedup_profile": ORACLE_DEDUP_PROFILE,
     "token_counts": ORACLE_TOKEN_COUNTS,
     "text_quality_counts": ORACLE_TEXT_QUALITY,
