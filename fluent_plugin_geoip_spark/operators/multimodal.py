@@ -493,16 +493,21 @@ def image_stats(df: DataFrame) -> DataFrame:
 
 
 def sample_video_frames(df: DataFrame, every_ms: int = 1000,
+                        frame_ms: int = 1000,
                         fake: bool = True) -> DataFrame:
-    """video → exploded (media_id, frame_ts_ms, feature). Frame timestamps
-    come from metadata (native exprs); per-frame decode needs ffmpeg, so it
-    is the stand-in unless a video decoder is registered."""
-    frames = (df.filter(F.col("kind") == "video")
-              .select("media_id", "payload",
-                      F.explode(F.sequence(
-                          F.lit(0), F.col("duration_ms"),
-                          F.lit(every_ms))).alias("frame_ts_ms")))
+    """video → exploded (media_id, frame_ts_ms, feature): sample a frame
+    every ``every_ms`` of playtime and pool it to a FEATURE_DIM vector.
 
+    Registered mimes (``VIDEO_DECODERS``) decode REAL frames — the sampled
+    timestamp maps to frame index ``ts // frame_ms`` (clamped to the last
+    frame for the duration endpoint); unregistered mimes (real containers
+    need ffmpeg) use the hash stand-in when ``fake=True``, else raise.
+
+    Timestamps are derived inside the UDF from ``duration_ms`` rather than
+    a JVM-side explode so each payload crosses Arrow ONCE per video, not
+    once per sampled frame (payload duplication is the scale hazard here —
+    a 2-hour clip sampled per second would otherwise ship 7200 copies).
+    """
     schema = T.StructType([
         T.StructField("media_id", T.LongType()),
         T.StructField("frame_ts_ms", T.LongType()),
@@ -513,14 +518,28 @@ def sample_video_frames(df: DataFrame, every_ms: int = 1000,
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            if not fake:
-                raise NotImplementedError("video decode requires ffmpeg")
-            feats = [
-                _fake_decode((p or b"") + int(ts).to_bytes(8, "big"))
-                for p, ts in zip(pdf["payload"], pdf["frame_ts_ms"])
-            ]
-            yield pd.DataFrame({"media_id": pdf["media_id"],
-                                "frame_ts_ms": pdf["frame_ts_ms"],
-                                "feature": feats})
+            out = {"media_id": [], "frame_ts_ms": [], "feature": []}
+            for mid, p, m, dur in zip(pdf["media_id"], pdf["payload"],
+                                      pdf["mime"], pdf["duration_ms"]):
+                stamps = range(0, int(dur) + 1, every_ms)
+                dec = VIDEO_DECODERS.get(m or "")
+                if dec is not None:
+                    frames = dec(p)
+                    feats = [_pool_feature(decode_ppm_gray(
+                        frames[min(ts // frame_ms, len(frames) - 1)]))
+                        for ts in stamps]
+                elif fake:
+                    feats = [_fake_decode((p or b"")
+                                          + int(ts).to_bytes(8, "big"))
+                             for ts in stamps]
+                else:
+                    raise NotImplementedError(
+                        f"no video decoder registered for mime {m!r}")
+                out["media_id"].extend([mid] * len(feats))
+                out["frame_ts_ms"].extend(stamps)
+                out["feature"].extend(feats)
+            yield pd.DataFrame(out)
 
-    return frames.mapInPandas(run, schema)
+    return (df.filter(F.col("kind") == "video")
+            .select("media_id", "mime", "payload", "duration_ms")
+            .mapInPandas(run, schema))

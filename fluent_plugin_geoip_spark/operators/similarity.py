@@ -140,15 +140,19 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding",
              nbits: int = 8, n_tables: int = 4, seed: int = 42,
              exclude_self: bool = True,
-             use_pandas_sig: bool = True) -> DataFrame:
+             use_pandas_sig: bool = True,
+             dim: int | None = None) -> DataFrame:
     """Approximate top-k: candidates share an LSH bucket in ANY of
     ``n_tables`` hash tables; exact cosine re-rank on candidates.
 
     Recall improves with n_tables; cost is the per-bucket join size. Returns
-    the same schema as ``cosine_topk``.
+    the same schema as ``cosine_topk``. Pass ``dim`` (the vector length) to
+    skip the fallback one-row probe job that otherwise infers it (ArrayType
+    schemas don't carry a length).
     """
     sig = lsh_bucket_pandas if use_pandas_sig else lsh_signature_col
-    dim = len(corpus.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
     c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
     cand = None
@@ -181,11 +185,14 @@ def embedding_near_dupes(df: DataFrame, threshold: float = 0.95,
                          id_col: str = "vec_id", vec_col: str = "embedding",
                          nbits: int = 8, n_tables: int = 4,
                          seed: int = 42,
-                         use_pandas_sig: bool = True) -> DataFrame:
+                         use_pandas_sig: bool = True,
+                         dim: int | None = None) -> DataFrame:
     """Near-duplicate embedding pairs (cosine ≥ threshold) via LSH blocking.
-    Returns (id_a, id_b, cosine)."""
+    Returns (id_a, id_b, cosine). Pass ``dim`` to skip the fallback one-row
+    probe job that otherwise infers the vector length."""
     sig = lsh_bucket_pandas if use_pandas_sig else lsh_signature_col
-    dim = len(df.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     pairs = None
     for t in range(n_tables):

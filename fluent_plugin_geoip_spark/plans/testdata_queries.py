@@ -389,6 +389,46 @@ LEFT JOIN {world_ranges_values_sql()}
 """
 
 
+# P5+ (round 3): general HTML text extraction under the hard oracle gate —
+# wrap each document's text in messy Common-Crawl-style scaffolding (script/
+# style/comments/entities/attribute '>'), extract with the native
+# regexp_replace chain, and have DuckDB restate the IDENTICAL chain (every
+# construct used evaluates the same under Java regex and RE2).
+
+_HTML_PREFIX = ('<html><head><title>d</title><script>var p = "<p>";</script>'
+                '<style>p>em{color:red}</style></head><body><!-- x<b> -->'
+                '<h1 class="t">Doc ')
+_HTML_MID = '</h1><div id="a>b"><p>'
+_HTML_SUFFIX = ' &amp; tail&nbsp;end</p></div></body></html>'
+
+
+def q_html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.parse import html_to_text
+    d = _documents(spark, sf_dir)
+    html = F.concat(F.lit(_HTML_PREFIX), F.col("doc_id").cast("string"),
+                    F.lit(_HTML_MID), F.col("text"), F.lit(_HTML_SUFFIX))
+    return d.select(
+        "doc_id", html_to_text(html, decoded=True).alias("text_extracted"))
+
+
+def _html_oracle_sql() -> str:
+    """DuckDB restatement of html_to_text's exact regexp chain over the same
+    scaffolded input."""
+    from ..operators.parse import _ENTITIES, _STRIP_STEPS, _WS_RUN_RE
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    expr = (f"concat({q(_HTML_PREFIX)}, CAST(doc_id AS VARCHAR), "
+            f"{q(_HTML_MID)}, text, {q(_HTML_SUFFIX)})")
+    for pat, rep in _STRIP_STEPS:
+        expr = f"regexp_replace({expr}, {q(pat)}, {q(rep)}, 'g')"
+    for ent, ch in _ENTITIES:
+        expr = f"regexp_replace({expr}, {q(ent)}, {q(ch)}, 'g')"
+    expr = f"trim(regexp_replace({expr}, {q(_WS_RUN_RE)}, ' ', 'g'))"
+    return f"SELECT doc_id, {expr} AS text_extracted FROM documents"
+
+
 # ---------------------------------------------------------------------------
 # training-data operators over documents / embeddings
 # ---------------------------------------------------------------------------
@@ -692,7 +732,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import lsh_topk
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = e.filter(F.col("vec_id") < 10)
-    return lsh_topk(e, q, k=5, nbits=8, n_tables=4) \
+    return lsh_topk(e, q, k=5, nbits=8, n_tables=4, dim=64) \
         .select("query_id", "neighbor_id", "rank")
 
 
@@ -820,6 +860,7 @@ QUERIES = {
     "geoip_route_counts": q_geoip_route_counts,
     "geoip_skip_null": q_geoip_skip_null,
     "parse_access_log": q_parse_access_log,
+    "html_extract_text": q_html_extract_text,
     "json_props_rollup": q_json_props_rollup,
     "agg_pricing_summary": q_agg_pricing_summary,
     "geoip_compat_enrich": q_geoip_compat_enrich,
@@ -848,6 +889,7 @@ ORACLES = {
     "geoip_route_counts": ORACLE_ROUTE_COUNTS,
     "geoip_skip_null": ORACLE_SKIP_NULL,
     "parse_access_log": ORACLE_PARSE_ACCESS_LOG,
+    "html_extract_text": _html_oracle_sql(),
     "json_props_rollup": ORACLE_JSON_PROPS,
     "agg_pricing_summary": ORACLE_PRICING,
     "geoip_compat_enrich": ORACLE_COMPAT_ENRICH,

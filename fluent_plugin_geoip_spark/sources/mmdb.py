@@ -48,15 +48,25 @@ class MMDBError(ValueError):
 # ---------------------------------------------------------------------------
 
 def decode_value(buf: bytes, offset: int, data_start: int = 0,
-                 cache: dict | None = None):
+                 cache: dict | None = None, _seen: set | None = None):
     """Decode one tagged value at absolute ``offset``; returns
     ``(value, next_offset)``. ``data_start`` anchors pointer resolution
-    (pointers are relative to the data section)."""
+    (pointers are relative to the data section).
+
+    Hardened against malformed input: every read is bounds-checked
+    (truncated values raise ``MMDBError``, never silently short-read) and
+    pointer chains carry an in-flight target set so a pointer cycle raises
+    instead of recursing forever (``_seen`` is internal plumbing).
+    """
+    if not 0 <= offset < len(buf):
+        raise MMDBError(f"truncated value: offset {offset} beyond buffer")
     ctrl = buf[offset]
     offset += 1
     typ = ctrl >> 5
     if typ == _T_PTR:
         ss = (ctrl >> 3) & 0x3
+        if offset + ss + 1 > len(buf):
+            raise MMDBError("truncated pointer")
         vvv = ctrl & 0x7
         if ss == 0:
             p = (vvv << 8) | buf[offset]
@@ -74,15 +84,25 @@ def decode_value(buf: bytes, offset: int, data_start: int = 0,
         target = data_start + p
         if cache is not None and target in cache:
             return cache[target], offset
-        val, _ = decode_value(buf, target, data_start, cache)
+        if _seen is None:
+            _seen = set()
+        if target in _seen:
+            raise MMDBError(f"pointer loop at data offset {p}")
+        _seen.add(target)
+        val, _ = decode_value(buf, target, data_start, cache, _seen)
+        _seen.discard(target)
         if cache is not None:
             cache[target] = val
         return val, offset
     if typ == 0:  # extended type
+        if offset >= len(buf):
+            raise MMDBError("truncated extended-type byte")
         typ = 7 + buf[offset]
         offset += 1
     size = ctrl & 0x1F
     if typ != _T_BOOL:  # boolean keeps its value in the size bits
+        if size >= 29 and offset + (size - 28) > len(buf):
+            raise MMDBError("truncated size bytes")
         if size == 29:
             size = 29 + buf[offset]
             offset += 1
@@ -92,8 +112,15 @@ def decode_value(buf: bytes, offset: int, data_start: int = 0,
         elif size == 31:
             size = 65821 + int.from_bytes(buf[offset:offset + 3], "big")
             offset += 3
+        if typ not in (_T_MAP, _T_ARRAY) and offset + size > len(buf):
+            raise MMDBError(
+                f"truncated value: {size} bytes declared, "
+                f"{len(buf) - offset} available")
     if typ == _T_STR:
-        return buf[offset:offset + size].decode("utf-8"), offset + size
+        try:
+            return buf[offset:offset + size].decode("utf-8"), offset + size
+        except UnicodeDecodeError as e:
+            raise MMDBError(f"invalid UTF-8 in string value: {e}") from None
     if typ == _T_DOUBLE:
         if size != 8:
             raise MMDBError("double must be 8 bytes")
@@ -116,14 +143,14 @@ def decode_value(buf: bytes, offset: int, data_start: int = 0,
     if typ == _T_MAP:
         out = {}
         for _ in range(size):
-            k, offset = decode_value(buf, offset, data_start, cache)
-            v, offset = decode_value(buf, offset, data_start, cache)
+            k, offset = decode_value(buf, offset, data_start, cache, _seen)
+            v, offset = decode_value(buf, offset, data_start, cache, _seen)
             out[k] = v
         return out, offset
     if typ == _T_ARRAY:
         items = []
         for _ in range(size):
-            v, offset = decode_value(buf, offset, data_start, cache)
+            v, offset = decode_value(buf, offset, data_start, cache, _seen)
             items.append(v)
         return items, offset
     if typ == _T_BOOL:
@@ -152,11 +179,21 @@ class MMDBReader:
             raise MMDBError("no MaxMind.com metadata marker found")
         metadata, _ = decode_value(buf, marker_at + len(METADATA_MARKER),
                                    data_start=marker_at + len(METADATA_MARKER))
-        node_count = metadata["node_count"]
-        record_size = metadata["record_size"]
+        if not isinstance(metadata, dict):
+            raise MMDBError("metadata is not a map")
+        try:
+            node_count = metadata["node_count"]
+            record_size = metadata["record_size"]
+        except KeyError as e:
+            raise MMDBError(f"metadata missing {e}") from None
         if record_size not in (24, 28, 32):
             raise MMDBError(f"unsupported record_size {record_size}")
         tree_size = node_count * record_size * 2 // 8
+        if (not isinstance(node_count, int) or node_count < 0
+                or tree_size + DATA_SECTION_SEPARATOR > marker_at):
+            raise MMDBError(
+                f"implausible node_count {node_count}: tree would overrun "
+                "the data section")
         return cls(buf=buf, metadata=metadata, node_count=node_count,
                    record_size=record_size,
                    ip_version=metadata.get("ip_version", 6),

@@ -202,6 +202,106 @@ def test_build_script_is_deterministic(tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# hardening (round 3): malformed files raise MMDBError — never hang,
+# over-read, or blow the stack — and a differential vs the official reader
+# ---------------------------------------------------------------------------
+
+def _mk_ptr(p: int) -> bytes:
+    """Encode a small (<2048) pointer control sequence."""
+    assert p < 2048
+    return bytes([(1 << 5) | ((p >> 8) & 0x7), p & 0xFF])
+
+
+def test_fuzz_truncated_values():
+    from fluent_plugin_geoip_spark.sources.mmdb import MMDBError
+    # string claiming 10 bytes with 2 present
+    with pytest.raises(MMDBError, match="truncated"):
+        decode_value(bytes([(2 << 5) | 10]) + b"ab", 0)
+    # offset beyond buffer
+    with pytest.raises(MMDBError, match="truncated"):
+        decode_value(b"", 0)
+    # extended-type byte missing
+    with pytest.raises(MMDBError, match="truncated"):
+        decode_value(bytes([0 << 5]), 0)
+    # size-extension bytes missing (size==30 wants 2 bytes)
+    with pytest.raises(MMDBError, match="truncated"):
+        decode_value(bytes([(2 << 5) | 30]), 0)
+    # pointer operand missing
+    with pytest.raises(MMDBError, match="truncated"):
+        decode_value(bytes([(1 << 5) | (3 << 3)]), 0)
+
+
+def test_fuzz_pointer_loop():
+    from fluent_plugin_geoip_spark.sources.mmdb import MMDBError
+    # a pointer at data offset 0 pointing at data offset 0 → self-loop
+    with pytest.raises(MMDBError, match="pointer loop"):
+        decode_value(_mk_ptr(0), 0, data_start=0)
+    # two pointers chasing each other
+    a, b = _mk_ptr(2), _mk_ptr(0)
+    with pytest.raises(MMDBError, match="pointer loop"):
+        decode_value(a + b, 0, data_start=0)
+    # a legitimate pointer chain still decodes (ptr → ptr → value)
+    blob = _mk_ptr(2) + _mk_ptr(4) + bytes([(2 << 5) | 2]) + b"ok"
+    assert decode_value(blob, 0, data_start=0)[0] == "ok"
+
+
+def test_fuzz_truncated_tree_and_bad_metadata():
+    from fluent_plugin_geoip_spark.sources.mmdb import (
+        METADATA_MARKER, MMDBError, encode_value,
+    )
+    # node_count far larger than the bytes before the marker
+    meta = encode_value({"node_count": 1 << 20, "record_size": 28})
+    with pytest.raises(MMDBError, match="implausible"):
+        MMDBReader.from_bytes(b"\x00" * 64 + METADATA_MARKER + meta)
+    # metadata missing node_count
+    meta = encode_value({"record_size": 28})
+    with pytest.raises(MMDBError, match="node_count"):
+        MMDBReader.from_bytes(b"\x00" * 64 + METADATA_MARKER + meta)
+    # metadata not a map
+    with pytest.raises(MMDBError, match="not a map"):
+        MMDBReader.from_bytes(
+            b"\x00" * 64 + METADATA_MARKER + encode_value("nope"))
+    # record value pointing into the separator
+    blob = build_mmdb([("10.0.0.0/8", {"x": 1})], ip_version=4)
+    r = MMDBReader.from_bytes(blob)
+    with pytest.raises(MMDBError, match="separator"):
+        r.record_data(r.node_count + 1)
+
+
+def test_fuzz_random_mutations_never_hang():
+    """Bit-flip the fixture at random positions: any exception must be an
+    MMDBError (or a clean miss), never a hang/recursion blowup."""
+    import random
+    from fluent_plugin_geoip_spark.sources.mmdb import MMDBError
+    with open(FIXTURE, "rb") as f:
+        base = bytearray(f.read())
+    rng = random.Random(3)
+    for _ in range(200):
+        blob = bytearray(base)
+        for _ in range(rng.randint(1, 4)):
+            blob[rng.randrange(len(blob))] ^= 1 << rng.randrange(8)
+        try:
+            r = MMDBReader.from_bytes(bytes(blob))
+            for _s, _e, _d in r.iter_ipv4_ranges():
+                pass
+        except MMDBError:
+            pass  # the only acceptable failure mode
+
+
+def test_differential_against_official_reader(tmp_path):
+    """Our reader vs the maxminddb package on our writer's output (skipped
+    when the package isn't installed — it isn't in this sandbox)."""
+    maxminddb = pytest.importorskip("maxminddb")
+    p = tmp_path / "diff.mmdb"
+    p.write_bytes(build_mmdb(V6_NETS, ip_version=6))
+    db = GeoDatabase.from_mmdb(str(p))
+    with maxminddb.open_database(str(p)) as official:
+        for ip in ["66.102.3.80", "66.102.15.255", "8.8.8.8",
+                   "2001:db8::1234", "2400:cb00:dead::1", "::ffff:66.102.3.80"]:
+            assert db.lookup_doc(ip) == official.get(ip)
+
+
+# ---------------------------------------------------------------------------
 # IPv6 (round 2): native-v6 table + v4-mapped text addresses
 # ---------------------------------------------------------------------------
 

@@ -73,6 +73,53 @@ def test_text_invariant(spark, pages_dir):
     assert flagged.filter(~F.col("text_ok")).count() == 0
 
 
+def test_html_to_text_goldens(spark):
+    """The general native-expression extractor on messy Common-Crawl-style
+    HTML: script/style/comment removal, block-boundary spacing, quoted-attr
+    '>' tolerance, entity decode incl. double-escapes (VERDICT r2 item 6)."""
+    from fluent_plugin_geoip_spark.operators.parse import html_to_text
+    cases = [
+        # (html, expected canonical text)
+        ("<html><body><p>Hello</p><p>world</p></body></html>", "Hello world"),
+        ("<div>a<br>b</div>", "a b"),
+        ("<script>var x = '<p>not text</p>';</script>after", "after"),
+        ("<style type='text/css'>p > em { color: red }</style>body", "body"),
+        ("<!-- a <b> comment -->text<!--- nested -- -->", "text"),
+        ('<a title="a>b" href="x">link</a> tail', "link tail"),
+        ("Tom &amp; Jerry &lt;3 &quot;cheese&quot; &#39;n&#39; more",
+         "Tom & Jerry <3 \"cheese\" 'n' more"),
+        ("double &amp;lt; escape", "double &lt; escape"),
+        ("non&nbsp;breaking&#160;space", "non breaking space"),
+        ("  lots \t of\n\nwhitespace  ", "lots of whitespace"),
+        ("<SCRIPT SRC='x.js'>1</SCRIPT><P>UPPER</P>", "UPPER"),
+        ("plain text, no markup", "plain text, no markup"),
+        ("<ul><li>one</li><li>two</li></ul>", "one two"),
+        ("<span>in</span>line", "inline"),  # inline tags don't add spaces
+        ("", ""),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "html string")
+    out = [r.t for r in
+           df.select(html_to_text(F.col("html"), decoded=True).alias("t"))
+           .collect()]
+    for (h, want), got in zip(cases, out):
+        assert got == want, (h, got, want)
+    # binary input path + the <pre> invariant pages also extract sensibly
+    enc = spark.createDataFrame([("<p>bin&amp;ary</p>",)], "s string") \
+        .select(F.encode("s", "UTF-8").alias("html"))
+    assert enc.select(html_to_text(F.col("html")).alias("t")) \
+              .first().t == "bin&ary"
+
+
+def test_html_to_text_is_native(spark):
+    """The extractor must stay JVM-side: no Python/Arrow eval nodes in the
+    plan (it is built for the 100 TB parse hot path)."""
+    from fluent_plugin_geoip_spark.operators.parse import html_to_text
+    df = generate_pages(spark, 10)
+    plan = df.select(html_to_text(F.col("html")).alias("t")) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan
+
+
 def test_parse_fields(spark, pages_dir):
     pages = spark.read.parquet(pages_dir)
     parsed = parse_pages(pages, include_access=True)
