@@ -31,7 +31,8 @@ from fluent_plugin_geoip_spark.sources.pages import generate_pages  # noqa: E402
 
 BENCH_QUERIES = [
     "geoip_enrich_country_counts", "geoip_enrich_values", "geoip_multi_key",
-    "geoip_route_counts", "geoip_mmdb_enrich", "parse_access_log",
+    "geoip_route_counts", "geoip_mmdb_enrich", "geoip_dat_enrich",
+    "parse_access_log", "html_extract_text",
     "json_props_rollup", "agg_pricing_summary", "dedup_profile",
     "token_counts", "text_quality_counts", "lang_id_matrix",
     "doc_fingerprints", "embedding_topk",
