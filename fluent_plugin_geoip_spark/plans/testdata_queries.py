@@ -441,6 +441,23 @@ def q_dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(F.md5(F.col("text").cast("binary"))).alias("n_distinct"))
 
 
+def q_dedup_keep_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exact_dedup under the hard gate: the kept (min-id-per-content-hash)
+    row set itself, not just the distinct-count profile."""
+    from ..operators.dedup import exact_dedup
+    d = _documents(spark, sf_dir)
+    return exact_dedup(d).select("doc_id").orderBy("doc_id")
+
+
+ORACLE_DEDUP_KEEP_MIN = """
+SELECT doc_id FROM (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents)
+WHERE rn = 1 ORDER BY doc_id
+"""
+
+
 ORACLE_DEDUP_PROFILE = """
 SELECT CAST(count(*) AS BIGINT) AS n_total,
        CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct
@@ -867,6 +884,7 @@ QUERIES = {
     "geoip_mmdb_enrich": q_geoip_mmdb_enrich,
     "geoip_dat_enrich": q_geoip_dat_enrich,
     "dedup_profile": q_dedup_profile,
+    "dedup_keep_min": q_dedup_keep_min,
     "token_counts": q_token_counts,
     "text_quality_counts": q_text_quality_counts,
     "lang_id_matrix": q_lang_id_matrix,
@@ -896,6 +914,7 @@ ORACLES = {
     "geoip_mmdb_enrich": ORACLE_MMDB_ENRICH,
     "geoip_dat_enrich": ORACLE_DAT_ENRICH,
     "dedup_profile": ORACLE_DEDUP_PROFILE,
+    "dedup_keep_min": ORACLE_DEDUP_KEEP_MIN,
     "token_counts": ORACLE_TOKEN_COUNTS,
     "text_quality_counts": ORACLE_TEXT_QUALITY,
     "lang_id_matrix": _lang_oracle_sql(),
