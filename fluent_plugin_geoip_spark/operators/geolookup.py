@@ -86,6 +86,19 @@ def sanitize_attr(attr_path: str) -> str:
     return attr_path.replace(".", "_").replace("[", "_").replace("]", "")
 
 
+# Driver-side cache of parsed database files. The reference loads each DB
+# once per process (:memory, filter_geoip.rb:207); without this, every
+# enricher construction re-walks the whole file. Keyed on (path, profile,
+# mtime_ns, size) so an updated file on the same path reloads.
+_DB_CACHE: dict[tuple, "GeoDatabase"] = {}
+
+
+def _db_cache_key(path: str, profile: str) -> tuple:
+    import os
+    st = os.stat(path)
+    return (os.path.abspath(path), profile, st.st_mtime_ns, st.st_size)
+
+
 @dataclass
 class GeoDatabase:
     """Sorted, non-overlapping IPv4 range table with per-range attributes.
@@ -161,6 +174,10 @@ class GeoDatabase:
                 "the legacy 'geoip' backend reads GeoCityLite .dat files — "
                 "use GeoDatabase.from_dat; .mmdb loading supports "
                 "geoip2_c / geoip2_compat")
+        key = _db_cache_key(path, profile)
+        cached = _DB_CACHE.get(key)
+        if cached is not None:
+            return cached
         reader = MMDBReader.open(path)
 
         def project(doc: dict) -> dict:
@@ -214,6 +231,7 @@ class GeoDatabase:
                         [np.nan if v is None else v for v in vals], dtype=np.float64)
                 else:
                     db.attrs6[k] = np.array(vals, dtype=object)
+        _DB_CACHE[key] = db
         return db
 
     @classmethod
@@ -230,10 +248,16 @@ class GeoDatabase:
         (the whitelist the reference enforces for this backend, rb:93-95).
         """
         from ..sources.dat import DATReader
+        key = _db_cache_key(path, "geoip")
+        cached = _DB_CACHE.get(key)
+        if cached is not None:
+            return cached
         reader = DATReader.open(path)
         rows = [{"range_start": s, "range_end": e, **attrs}
                 for s, e, attrs in reader.iter_ipv4_ranges()]
-        return cls.from_rows(rows, profile="geoip")
+        db = cls.from_rows(rows, profile="geoip")
+        _DB_CACHE[key] = db
+        return db
 
     def attr_type(self, attr_path: str) -> str:
         return attr_dtype(self.profile, attr_path, self.dtypes)

@@ -521,10 +521,18 @@ def sample_video_frames(df: DataFrame, every_ms: int = 1000,
             out = {"media_id": [], "frame_ts_ms": [], "feature": []}
             for mid, p, m, dur in zip(pdf["media_id"], pdf["payload"],
                                       pdf["mime"], pdf["duration_ms"]):
+                if pd.isna(dur):
+                    # null duration → no sampled frames (matches the old
+                    # F.sequence/explode behavior, which emitted nothing)
+                    continue
                 stamps = range(0, int(dur) + 1, every_ms)
                 dec = VIDEO_DECODERS.get(m or "")
                 if dec is not None:
                     frames = dec(p)
+                    if not frames:
+                        raise ValueError(
+                            f"video decoder for mime {m!r} returned zero "
+                            f"frames for media_id {mid}")
                     feats = [_pool_feature(decode_ppm_gray(
                         frames[min(ts // frame_ms, len(frames) - 1)]))
                         for ts in stamps]
@@ -538,7 +546,10 @@ def sample_video_frames(df: DataFrame, every_ms: int = 1000,
                 out["media_id"].extend([mid] * len(feats))
                 out["frame_ts_ms"].extend(stamps)
                 out["feature"].extend(feats)
-            yield pd.DataFrame(out)
+            if out["media_id"]:
+                # an all-skipped batch would yield float64 columns that
+                # Arrow can't cast to list<float>
+                yield pd.DataFrame(out)
 
     return (df.filter(F.col("kind") == "video")
             .select("media_id", "mime", "payload", "duration_ms")

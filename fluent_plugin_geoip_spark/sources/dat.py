@@ -452,6 +452,10 @@ def build_dat(networks: list[tuple[str, dict]],
             raise DATError(f"bad CIDR: {cidr}") from e
         if net.version != 4:
             raise DATError("legacy .dat trees are IPv4-only")
+        if net.prefixlen == 0:
+            # the bit loop below never runs for /0, which would silently
+            # drop the entry; the legacy format has no root record either
+            raise DATError("0.0.0.0/0 is not representable in a .dat tree")
         key = repr(sorted(attrs.items()))
         if key not in data_index:
             data_index[key] = len(datas)

@@ -188,9 +188,10 @@ class MMDBReader:
             raise MMDBError(f"metadata missing {e}") from None
         if record_size not in (24, 28, 32):
             raise MMDBError(f"unsupported record_size {record_size}")
+        if not isinstance(node_count, int) or node_count < 0:
+            raise MMDBError(f"implausible node_count {node_count!r}")
         tree_size = node_count * record_size * 2 // 8
-        if (not isinstance(node_count, int) or node_count < 0
-                or tree_size + DATA_SECTION_SEPARATOR > marker_at):
+        if (tree_size + DATA_SECTION_SEPARATOR > marker_at):
             raise MMDBError(
                 f"implausible node_count {node_count}: tree would overrun "
                 "the data section")

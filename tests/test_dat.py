@@ -88,6 +88,18 @@ def test_country_edition_reader():
     assert r.lookup(1 << 31) is None
 
 
+def test_build_dat_rejects_default_route():
+    """/0 would silently vanish (the bit loop never runs) — must raise."""
+    with pytest.raises(DATError, match="0.0.0.0/0"):
+        build_dat([("0.0.0.0/0", {"country_code": "US"})])
+
+
+def test_from_dat_is_cached_per_path():
+    """Repeated loads of the same unchanged file return the cached object
+    (the reference parses each DB once per process — :memory)."""
+    assert GeoDatabase.from_dat(FIXTURE) is GeoDatabase.from_dat(FIXTURE)
+
+
 def test_from_dat_matches_inmemory_legacy_db():
     """The file-loaded DB must agree with the golden from_rows fixture on
     every range bound and every GEOIP_KEYS attr value."""

@@ -133,6 +133,30 @@ def test_fixture_compat_profile():
     assert out["region_name"][0] == "California"
 
 
+def test_from_mmdb_is_cached_per_path_and_profile():
+    """Same (path, profile, mtime, size) → cached object; the compat
+    profile is a distinct cache entry (different attr projection)."""
+    a = GeoDatabase.from_mmdb(FIXTURE)
+    assert a is GeoDatabase.from_mmdb(FIXTURE)
+    b = GeoDatabase.from_mmdb(FIXTURE, profile="geoip2_compat")
+    assert b is not a
+    assert b is GeoDatabase.from_mmdb(FIXTURE, profile="geoip2_compat")
+
+
+def test_from_mmdb_cache_invalidates_on_rewrite(tmp_path):
+    import time
+    p = tmp_path / "c.mmdb"
+    p.write_bytes(build_mmdb([("10.0.0.0/8", {"country": {"iso_code": "AA"}})],
+                             ip_version=4))
+    a = GeoDatabase.from_mmdb(str(p))
+    time.sleep(0.01)  # ensure mtime_ns differs
+    p.write_bytes(build_mmdb([("10.0.0.0/8", {"country": {"iso_code": "BB"}})],
+                             ip_version=4))
+    b = GeoDatabase.from_mmdb(str(p))
+    assert b is not a
+    assert b.attrs["country.iso_code"][0] == "BB"
+
+
 def test_from_mmdb_rejects_legacy_profile():
     with pytest.raises(ValueError, match="dat"):
         GeoDatabase.from_mmdb(FIXTURE, profile="geoip")
@@ -261,6 +285,11 @@ def test_fuzz_truncated_tree_and_bad_metadata():
     with pytest.raises(MMDBError, match="not a map"):
         MMDBReader.from_bytes(
             b"\x00" * 64 + METADATA_MARKER + encode_value("nope"))
+    # node_count of the wrong type must raise MMDBError, not TypeError
+    # (the isinstance check must run BEFORE tree_size arithmetic)
+    meta = encode_value({"node_count": "12", "record_size": 28})
+    with pytest.raises(MMDBError, match="implausible node_count"):
+        MMDBReader.from_bytes(b"\x00" * 64 + METADATA_MARKER + meta)
     # record value pointing into the separator
     blob = build_mmdb([("10.0.0.0/8", {"x": 1})], ip_version=4)
     r = MMDBReader.from_bytes(blob)

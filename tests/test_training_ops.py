@@ -3,7 +3,7 @@ analysis, multimodal plumbing) over the driver testdata + synthetic cases."""
 
 import numpy as np
 import pytest
-from pyspark.sql import Row, functions as F
+from pyspark.sql import Row, functions as F, types as T
 
 from fluent_plugin_geoip_spark.operators import dedup, multimodal, similarity, textstats
 
@@ -252,6 +252,24 @@ def test_video_frame_sampling(spark):
         "media_id", "duration_ms").collect()
     expected = sum(int(v.duration_ms // 10_000) + 1 for v in vids)
     assert frames.count() == expected
+
+
+def test_video_frame_sampling_null_duration(spark):
+    """A video row with null duration_ms yields no frames (the old
+    F.sequence/explode behavior) instead of crashing inside the UDF."""
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("duration_ms", T.LongType()),
+    ])
+    df = spark.createDataFrame(
+        [(1, "video", "video/synthetic", b"x", None),
+         (2, "video", "video/synthetic", b"y", 4000)], schema)
+    out = multimodal.sample_video_frames(df, every_ms=2000).collect()
+    assert {r.media_id for r in out} == {2}
+    assert sorted(r.frame_ts_ms for r in out) == [0, 2000, 4000]
 
 
 def test_video_frame_sampling_real_decode(spark):
