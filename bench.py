@@ -7,8 +7,15 @@ Headline queries:
   $SPARK_GRAFT_SF_DIR), including the partitioned fan-out write;
 - the driver-contract queries over the testdata tables.
 
+Every number is warm best-of-N (default N=3, env SPARK_GRAFT_REPS): one
+untimed warm-up materialization per query (codegen, Arrow worker spin-up,
+broadcast/db-cache population), then the min of N timed runs — the protocol
+the scaling sweeps use, so single-shot substrate noise (the box's documented
+±50% windows, BASELINE.md) stops leaking into per-round BENCH files.
+
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-     SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_PAGES (override row count).
+     SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_PAGES (override row count),
+     SPARK_GRAFT_REPS (default 3 timed reps per query).
 """
 
 from __future__ import annotations
@@ -28,6 +35,23 @@ from pyspark.sql import SparkSession  # noqa: E402
 from fluent_plugin_geoip_spark.plans import testdata_queries as tq  # noqa: E402
 from fluent_plugin_geoip_spark.plans.pipeline import GeoipPipeline  # noqa: E402
 from fluent_plugin_geoip_spark.sources.pages import generate_pages  # noqa: E402
+
+REPS = int(os.environ.get("SPARK_GRAFT_REPS", "3"))
+
+
+def best_of(fn, reps: int = None) -> tuple[float, object]:
+    """One untimed warm-up call, then min wall-clock of ``reps`` timed calls.
+    ``fn`` must fully materialize (count/collect) — it returns the result of
+    the last timed call."""
+    reps = REPS if reps is None else reps
+    fn()  # warm-up: codegen, Python workers, broadcasts, driver db caches
+    best, result = float("inf"), None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        result = fn()
+        best = min(best, time.perf_counter() - t0)
+    return best, result
+
 
 BENCH_QUERIES = [
     "geoip_enrich_country_counts", "geoip_enrich_values", "geoip_multi_key",
@@ -50,26 +74,22 @@ def bench_training_ops(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     out: dict[str, float] = {}
 
-    t0 = time.perf_counter()
-    n = dedup.minhash_lsh_dedup(docs, threshold=0.8).count()
-    out["dedup_minhash_lsh"] = round(time.perf_counter() - t0, 3)
+    dt, _ = best_of(lambda: dedup.minhash_lsh_dedup(docs, threshold=0.8).count())
+    out["dedup_minhash_lsh"] = round(dt, 3)
 
-    t0 = time.perf_counter()
-    n = dedup.simhash_dedup(docs, max_hamming=3).count()
-    out["dedup_simhash"] = round(time.perf_counter() - t0, 3)
+    dt, _ = best_of(lambda: dedup.simhash_dedup(docs, max_hamming=3).count())
+    out["dedup_simhash"] = round(dt, 3)
 
-    t0 = time.perf_counter()
     q = embs.filter(F.col("vec_id") < 20)
-    n = similarity.lsh_topk(embs, q, k=10, nbits=8, n_tables=4).count()
-    out["ann_lsh_topk"] = round(time.perf_counter() - t0, 3)
+    dt, _ = best_of(
+        lambda: similarity.lsh_topk(embs, q, k=10, nbits=8, n_tables=4).count())
+    out["ann_lsh_topk"] = round(dt, 3)
 
     # real image decode throughput: 20k binary PPMs → pixel stats + ahash
     from fluent_plugin_geoip_spark.operators import multimodal
-    t0 = time.perf_counter()
-    n = multimodal.image_stats(multimodal.generate_ppm_images(
-        spark, 20_000, width=16, height=16)).count()
-    out["multimodal_ppm_stats"] = round(time.perf_counter() - t0, 3)
-    del n
+    dt, _ = best_of(lambda: multimodal.image_stats(
+        multimodal.generate_ppm_images(spark, 20_000, width=16, height=16)).count())
+    out["multimodal_ppm_stats"] = round(dt, 3)
     return out
 
 
@@ -105,7 +125,7 @@ def bench_pipeline(spark: SparkSession, n_pages: int) -> tuple[float, dict]:
         pipe.run(generate_pages(spark, 1000), collect_metrics=False,
                  out_dir=os.path.join(out_dir, "warmup"))
         dt = float("inf")
-        for i in range(2):  # best-of-2 to damp co-tenant noise
+        for i in range(REPS):  # best-of-N to damp co-tenant noise
             t0 = time.perf_counter()
             res = pipe.run(pages, out_dir=os.path.join(out_dir, f"routed{i}"))
             dt = min(dt, time.perf_counter() - t0)
@@ -134,10 +154,8 @@ def main() -> None:
 
     for name in BENCH_QUERIES:
         fn = tq.QUERIES[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        queries[name] = round(time.perf_counter() - t0, 3)
+        dt, n = best_of(lambda: fn(spark, sf_dir).count())
+        queries[name] = round(dt, 3)
         extra[name] = {"rows": n}
 
     queries.update(bench_training_ops(spark, sf_dir))
@@ -150,6 +168,7 @@ def main() -> None:
         "queries": queries,
         "sf": sf,
         "cpus": cpus,
+        "reps": REPS,
         "pages_rows": n_pages,
         "pipeline_rows_per_sec": round(extra["pipeline"]["rows_per_sec"], 1),
         "detail": {k: v for k, v in extra.items() if k == "pipeline"},

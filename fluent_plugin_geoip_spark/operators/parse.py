@@ -51,16 +51,47 @@ _STRIP_STEPS = [
 ]
 # explicit ASCII whitespace run (Java \s and RE2 \s disagree on \x0B)
 _WS_RUN_RE = "[ \t\n\x0b\f\r]+"
-# named + numeric-ASCII entities decoded natively; &amp; must decode LAST so
-# double-escaped text (&amp;lt;) yields the literal entity, not '<'
+# named entities decoded natively; &amp; must decode LAST so double-escaped
+# text (&amp;lt;) yields the literal entity, not '<'. Numeric forms are
+# handled by the generic single-pass decoder below (&#160;/&#xA0; → plain
+# space up front, matching &nbsp;).
 _ENTITIES = [
-    ("&nbsp;", " "), ("&#160;", " "),
-    ("&lt;", "<"), ("&#60;", "<"),
-    ("&gt;", ">"), ("&#62;", ">"),
-    ("&quot;", '"'), ("&#34;", '"'),
-    ("&apos;", "'"), ("&#39;", "'"),
-    ("&amp;", "&"), ("&#38;", "&"),
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&apos;", "'"),
+    ("&amp;", "&"),
 ]
+# generic numeric entities (round 4): &#NNN; decimal / &#xHH; hex, decoded
+# for the full ASCII range (9..126) in ONE substitution + ONE array
+# transform — no per-codepoint replace chain, no Python UDF. The entity is
+# rewritten to MARK_A<code>MARK_B; splitting on the markers then decoding
+# structurally makes the pass single-scan: a decoded '&' can never combine
+# with neighboring text into a new entity (correct HTML semantics). Codes
+# outside ASCII are restored verbatim. MARK bytes are normalized out of the
+# input first, so arbitrary text can't forge a marked region.
+_MARK_A = "\x00"
+_MARK_B = "\x01"
+_ENT_NBSP_NUM_RE = "&#(?:160|[xX]0*[Aa]0);"
+_ENT_NUM_RE = "&#([0-9]{1,7}|[xX][0-9A-Fa-f]{1,6});"
+
+
+def _decode_numeric_entities(s: Column) -> Column:
+    """Finish the marker pass: split on MARK_B; each piece is either plain
+    text or ``text MARK_A code``; decode ASCII codes, restore the rest."""
+    def dec_piece(p: Column) -> Column:
+        sp = F.split(p, _MARK_A, -1)
+        pre, code = F.get(sp, 0), F.get(sp, 1)
+        is_hex = F.upper(F.substring(code, 1, 1)) == "X"
+        num = (F.when(is_hex,
+                      F.conv(F.substring(code, 2, 6), 16, 10).cast("int"))
+               .otherwise(code.cast("int")))
+        dec = (F.when(num.between(9, 126), F.char(num))
+               .otherwise(F.concat(F.lit("&#"), code, F.lit(";"))))
+        return F.when(code.isNull(), pre).otherwise(F.concat(pre, dec))
+
+    return F.array_join(F.transform(F.split(s, _MARK_B, -1), dec_piece), "")
 
 
 def html_to_text(html: Column, decoded: bool = False) -> Column:
@@ -72,9 +103,12 @@ def html_to_text(html: Column, decoded: bool = False) -> Column:
     2. turn block-level tag boundaries into spaces (so ``<p>a</p><p>b</p>``
        reads "a b", not "ab"), strip all remaining tags (quoted ``>`` inside
        attributes tolerated);
-    3. decode the named + numeric-ASCII entities above (``&amp;`` last —
-       double-escaped text stays literal; exotic numeric entities are left
-       as-is, a full decoder would need a Python UDF on the hot path);
+    3. decode entities: numeric ``&#NNN;``/``&#xHH;`` over the full ASCII
+       range via the single-pass marker+transform decoder (codes outside
+       ASCII restored verbatim; ``&#160;``/``&#xA0;`` → plain space like
+       ``&nbsp;``), then the named set (``&amp;`` last — double-escaped
+       text stays literal, and the marker pass means a decoded ``&`` never
+       recombines into a new entity);
     4. collapse all whitespace runs to single spaces and trim (the canonical
        form golden-pinned in tests).
 
@@ -89,8 +123,12 @@ def html_to_text(html: Column, decoded: bool = False) -> Column:
     s = html if decoded else F.decode(html, "UTF-8")
     for step, rep in _STRIP_STEPS:
         s = F.regexp_replace(s, step, rep)
+    s = F.regexp_replace(s, f"[{_MARK_A}{_MARK_B}]", "")
+    s = F.regexp_replace(s, _ENT_NBSP_NUM_RE, " ")
+    s = F.regexp_replace(s, _ENT_NUM_RE, f"{_MARK_A}$1{_MARK_B}")
     for ent, ch in _ENTITIES:
         s = F.regexp_replace(s, ent, ch)
+    s = _decode_numeric_entities(s)
     return F.trim(F.regexp_replace(s, _WS_RUN_RE, " "))
 
 

@@ -70,18 +70,24 @@ def quality_features(text: Column) -> Column:
     )
 
 
-def quality_score(text: Column) -> Column:
-    """[0,1] quality heuristic: high alpha ratio, sane token lengths, some
-    stopwords, little punctuation noise."""
+def quality_score_raw(text: Column) -> Column:
+    """Unrounded [0,1] composite — separate from :func:`quality_score` so a
+    fixed-point consumer (``round(raw * 1e6)``) rounds exactly once; double-
+    rounding through ``round(x, 6)`` is not portable across engines."""
     f = quality_features(text)
-    score = (
+    return (
         0.4 * F.least(f["alpha_ratio"] / 0.7, F.lit(1.0))
         + 0.2 * F.least(f["stopword_ratio"] / 0.2, F.lit(1.0))
         + 0.2 * (1.0 - F.least(f["punct_ratio"] / 0.3, F.lit(1.0)))
         + 0.2 * F.when((f["mean_token_len"] >= 3) & (f["mean_token_len"] <= 12),
                        F.lit(1.0)).otherwise(F.lit(0.0))
     )
-    return F.round(score, 6)
+
+
+def quality_score(text: Column) -> Column:
+    """[0,1] quality heuristic: high alpha ratio, sane token lengths, some
+    stopwords, little punctuation noise."""
+    return F.round(quality_score_raw(text), 6)
 
 
 # ---------------------------------------------------------------------------

@@ -369,6 +369,52 @@ FROM events
 """
 
 
+# J1 IPv6 (round 4): the dual-table path under the hard oracle gate — the
+# committed v6 fixture carries the golden v4 ranges PLUS two native-v6
+# networks (scripts/build_test_mmdb.py V6_EXTRA_NETS). Probes cover every
+# textual v6 class the reader handles: native v6 hit, v4-mapped
+# ``::ffff:a.b.c.d`` and v4-compat ``::a.b.c.d`` (both land on the v4
+# table, libmaxminddb tree-walk semantics), country-only hit (lat nil →
+# 0.0 default, filter_geoip.rb:196-199), native v6 miss, empty string.
+_MMDB_V6_FIXTURE = os.path.normpath(os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "..", "..", "tests",
+    "fixtures", "geolite2-city-v6-test.mmdb"))
+
+_MMDB_V6_TEST_IPS = ["2001:db8::1234", "::ffff:66.102.3.80", "::66.102.3.80",
+                     "2400:cb00:dead::1", "2001:db9::1", ""]
+
+
+def q_geoip_mmdb_enrich_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.geolookup import GeoDatabase
+    db = GeoDatabase.from_mmdb(_MMDB_V6_FIXTURE)
+    df = _events(spark, sf_dir).withColumn(
+        "ip", F.element_at(F.array(*[F.lit(s) for s in _MMDB_V6_TEST_IPS]),
+                           (F.col("event_id") % 6).cast("int") + 1))
+    cfg = GeoipConfig(lookup_keys=["ip"], records={
+        "city": "${city.names.en['ip']}",
+        "country": "${country.iso_code['ip']}",
+        "latitude": "${location.latitude['ip']}",
+    })
+    out = GeoipEnricher(spark, cfg, db).transform(df)
+    return out.select("event_id", "city", "country", "latitude")
+
+
+ORACLE_MMDB_ENRICH_V6 = """
+SELECT event_id,
+       CASE event_id % 6 WHEN 0 THEN 'V6 City'
+                         WHEN 1 THEN 'Mountain View'
+                         WHEN 2 THEN 'Mountain View' END AS city,
+       CASE event_id % 6 WHEN 0 THEN 'V6' WHEN 1 THEN 'US'
+                         WHEN 2 THEN 'US' WHEN 3 THEN 'AU' END AS country,
+       CASE event_id % 6 WHEN 0 THEN -5.5E0
+                         WHEN 1 THEN 3.7419200000000004E1
+                         WHEN 2 THEN 3.7419200000000004E1
+                         WHEN 3 THEN 0.0E0  -- hit, attr nil -> 0.0 default
+                         END AS latitude
+FROM events
+"""
+
+
 # compat-backend enrich (flat attr whitelist path)
 def q_geoip_compat_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.fixtures import world_compat_db
@@ -399,7 +445,8 @@ _HTML_PREFIX = ('<html><head><title>d</title><script>var p = "<p>";</script>'
                 '<style>p>em{color:red}</style></head><body><!-- x<b> -->'
                 '<h1 class="t">Doc ')
 _HTML_MID = '</h1><div id="a>b"><p>'
-_HTML_SUFFIX = ' &amp; tail&nbsp;end</p></div></body></html>'
+_HTML_SUFFIX = (' &amp; tail&nbsp;end &#72;i&#x21; &amp;#65; &#38;lt;'
+                ' &#160;&#xA0; &#1070;&#x4F60;</p></div></body></html>')
 
 
 def q_html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -412,9 +459,13 @@ def q_html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _html_oracle_sql() -> str:
-    """DuckDB restatement of html_to_text's exact regexp chain over the same
-    scaffolded input."""
-    from ..operators.parse import _ENTITIES, _STRIP_STEPS, _WS_RUN_RE
+    """DuckDB restatement of html_to_text's exact chain over the same
+    scaffolded input — including the round-4 single-pass numeric-entity
+    decoder (marker substitution + list_transform, mirroring Spark's
+    split/transform/array_join; marker bytes spelled as chr(0)/chr(1))."""
+    from ..operators.parse import (
+        _ENT_NBSP_NUM_RE, _ENT_NUM_RE, _ENTITIES, _STRIP_STEPS, _WS_RUN_RE,
+    )
 
     def q(s: str) -> str:
         return "'" + s.replace("'", "''") + "'"
@@ -423,8 +474,23 @@ def _html_oracle_sql() -> str:
             f"{q(_HTML_MID)}, text, {q(_HTML_SUFFIX)})")
     for pat, rep in _STRIP_STEPS:
         expr = f"regexp_replace({expr}, {q(pat)}, {q(rep)}, 'g')"
+    expr = (f"regexp_replace({expr}, '[' || chr(0) || chr(1) || ']', "
+            f"'', 'g')")
+    expr = f"regexp_replace({expr}, {q(_ENT_NBSP_NUM_RE)}, ' ', 'g')"
+    expr = (f"regexp_replace({expr}, {q(_ENT_NUM_RE)}, "
+            f"chr(0) || '\\1' || chr(1), 'g')")
     for ent, ch in _ENTITIES:
         expr = f"regexp_replace({expr}, {q(ent)}, {q(ch)}, 'g')"
+    code = "string_split(p, chr(0))[2]"
+    num = (f"(CASE WHEN upper({code}[1]) = 'X' "
+           f"THEN CAST('0x' || {code}[2:] AS INT) "
+           f"ELSE CAST({code} AS INT) END)")
+    expr = f"""array_to_string(list_transform(string_split({expr}, chr(1)),
+      p -> CASE WHEN len(string_split(p, chr(0))) = 1 THEN p
+                ELSE string_split(p, chr(0))[1] ||
+                     (CASE WHEN {num} BETWEEN 9 AND 126 THEN chr({num})
+                           ELSE '&#' || {code} || ';' END)
+           END), '')"""
     expr = f"trim(regexp_replace({expr}, {q(_WS_RUN_RE)}, ' ', 'g'))"
     return f"SELECT doc_id, {expr} AS text_extracted FROM documents"
 
@@ -500,6 +566,62 @@ SELECT doc_id,
        CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS INT) AS digit_chars,
        CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS INT) AS punct_chars
 FROM documents
+"""
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSITE quality score under the hard gate (round 4): per-doc
+    ``round(quality_score_raw * 1e6)`` as fixed-point micros — one rounding
+    of an identically-associated double expression on both engines — plus
+    the BPE-ish subword count (previously pytest-only)."""
+    from ..operators.textstats import bpe_ish_token_count, quality_score_raw
+    d = _documents(spark, sf_dir)
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        bpe_ish_token_count(t).alias("n_bpe_tokens"),
+        F.round(quality_score_raw(t) * 1e6).cast("long").alias("quality_micros"),
+    )
+
+
+# Restates quality_score_raw term-for-term in the SAME association order
+# (left-fold sum, identical literals) so both engines produce bit-identical
+# doubles before the single half-away-from-zero rounding to micros.
+ORACLE_QUALITY_SCORES = r"""
+WITH feats AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+           AS n_bpe_tokens,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+           AS alpha,
+         CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+           AS punct,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                   x -> x IN ('the','a','of','and','to','in','is','it',
+                              'that','for'))) END AS stop
+  FROM documents
+), ratios AS (
+  SELECT doc_id, n_bpe_tokens,
+         alpha / greatest(n_chars, 1.0::DOUBLE) AS alpha_ratio,
+         punct / greatest(n_chars, 1.0::DOUBLE) AS punct_ratio,
+         CAST(stop AS DOUBLE) / CAST(greatest(n_tok, 1) AS DOUBLE)
+           AS stopword_ratio,
+         n_chars / CAST(greatest(n_tok, 1) AS DOUBLE) AS mean_token_len
+  FROM feats
+)
+SELECT doc_id, CAST(n_bpe_tokens AS INT) AS n_bpe_tokens,
+       CAST(round((0.4::DOUBLE * least(alpha_ratio / 0.7::DOUBLE, 1.0::DOUBLE)
+         + 0.2::DOUBLE * least(stopword_ratio / 0.2::DOUBLE, 1.0::DOUBLE)
+         + 0.2::DOUBLE * (1.0::DOUBLE
+                          - least(punct_ratio / 0.3::DOUBLE, 1.0::DOUBLE))
+         + 0.2::DOUBLE * (CASE WHEN mean_token_len >= 3 AND mean_token_len <= 12
+                          THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END))
+         * 1000000.0::DOUBLE) AS BIGINT) AS quality_micros
+FROM ratios
 """
 
 
@@ -882,11 +1004,13 @@ QUERIES = {
     "agg_pricing_summary": q_agg_pricing_summary,
     "geoip_compat_enrich": q_geoip_compat_enrich,
     "geoip_mmdb_enrich": q_geoip_mmdb_enrich,
+    "geoip_mmdb_enrich_v6": q_geoip_mmdb_enrich_v6,
     "geoip_dat_enrich": q_geoip_dat_enrich,
     "dedup_profile": q_dedup_profile,
     "dedup_keep_min": q_dedup_keep_min,
     "token_counts": q_token_counts,
     "text_quality_counts": q_text_quality_counts,
+    "quality_scores": q_quality_scores,
     "lang_id_matrix": q_lang_id_matrix,
     "doc_fingerprints": q_doc_fingerprints,
     "embedding_topk": q_embedding_topk,
@@ -912,11 +1036,13 @@ ORACLES = {
     "agg_pricing_summary": ORACLE_PRICING,
     "geoip_compat_enrich": ORACLE_COMPAT_ENRICH,
     "geoip_mmdb_enrich": ORACLE_MMDB_ENRICH,
+    "geoip_mmdb_enrich_v6": ORACLE_MMDB_ENRICH_V6,
     "geoip_dat_enrich": ORACLE_DAT_ENRICH,
     "dedup_profile": ORACLE_DEDUP_PROFILE,
     "dedup_keep_min": ORACLE_DEDUP_KEEP_MIN,
     "token_counts": ORACLE_TOKEN_COUNTS,
     "text_quality_counts": ORACLE_TEXT_QUALITY,
+    "quality_scores": ORACLE_QUALITY_SCORES,
     "lang_id_matrix": _lang_oracle_sql(),
     "doc_fingerprints": ORACLE_FINGERPRINTS,
     "embedding_topk": ORACLE_EMBEDDING_TOPK,

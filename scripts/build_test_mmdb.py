@@ -20,6 +20,18 @@ from fluent_plugin_geoip_spark.sources.mmdb import unflatten_doc
 
 OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "fixtures",
                    "geolite2-city-test.mmdb")
+OUT_V6 = os.path.join(os.path.dirname(__file__), "..", "tests", "fixtures",
+                      "geolite2-city-v6-test.mmdb")
+
+# Native-IPv6 networks for the v6 fixture (alongside the golden v4 ranges):
+# a full city doc, and a country-only doc (lat absent → the reference's
+# 0.0-on-hit default applies to ${location.latitude}).
+V6_EXTRA_NETS = [
+    ("2001:db8::/32", {"city": {"names": {"en": "V6 City"}},
+                       "country": {"iso_code": "V6"},
+                       "location": {"latitude": -5.5}}),
+    ("2400:cb00::/32", {"country": {"iso_code": "AU"}}),
+]
 
 
 def range_to_cidr(start: int, end: int) -> str:
@@ -44,6 +56,13 @@ def main() -> None:
     with open(OUT, "wb") as f:
         f.write(blob)
     print(f"wrote {OUT} ({len(blob)} bytes, {len(networks)} networks)")
+
+    nets6 = networks + V6_EXTRA_NETS
+    blob6 = build_mmdb(nets6, database_type="GeoLite2-City-V6-Test",
+                       ip_version=6, record_size=28)
+    with open(OUT_V6, "wb") as f:
+        f.write(blob6)
+    print(f"wrote {OUT_V6} ({len(blob6)} bytes, {len(nets6)} networks)")
 
 
 if __name__ == "__main__":

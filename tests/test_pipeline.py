@@ -96,6 +96,16 @@ def test_html_to_text_goldens(spark):
         ("<ul><li>one</li><li>two</li></ul>", "one two"),
         ("<span>in</span>line", "inline"),  # inline tags don't add spaces
         ("", ""),
+        # round 4: full-ASCII numeric entities, decimal + hex
+        ("&#72;&#101;y&#x21;", "Hey!"),
+        ("&#0000065;&#x0041;", "AA"),  # leading zeros
+        ("tab&#9;and&#x0A;newline", "tab and newline"),  # → ws, collapsed
+        ("&amp;#65; stays literal", "&#65; stays literal"),
+        ("&#38;lt; decodes to literal entity", "&lt; decodes to literal entity"),
+        ("&#1070;&#x4F60; outside ASCII kept", "&#1070;&#x4F60; outside ASCII kept"),
+        ("&#8;&#127; control/DEL kept", "&#8;&#127; control/DEL kept"),
+        ("nb&#160;sp&#xA0;forms", "nb sp forms"),
+        ("marker\x00bytes\x01normalized &#77;", "markerbytesnormalized M"),
     ]
     df = spark.createDataFrame([(h,) for h, _ in cases], "html string")
     out = [r.t for r in

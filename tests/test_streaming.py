@@ -132,6 +132,94 @@ def test_sessionize_stream_closes_gapped_sessions(spark, tmp_path):
     assert got == expected
 
 
+def _run_session_stream(spark, src, ckpt, name, expected):
+    """Start a 1-file-per-micro-batch session stream and poll the memory
+    sink until it matches ``expected`` (or 60 s)."""
+    from fluent_plugin_geoip_spark.streaming.sessionize import sessionize_stream
+    stream = (spark.readStream
+              .schema("client_ip string, warc_ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (sessionize_stream(stream, gap_minutes=30)
+         .writeStream.outputMode("append").format("memory")
+         .queryName(name)
+         .option("checkpointLocation", ckpt).start())
+    got = {}
+    for _ in range(60):
+        got = {(r.client_ip, str(r.session_start), str(r.session_end)):
+               r.n_events
+               for r in spark.sql(f"SELECT * FROM {name}").collect()}
+        if got == expected:
+            break
+        time.sleep(1)
+    q.stop()
+    return got
+
+
+def test_sessionize_stream_equals_batch_across_microbatches(spark, tmp_path):
+    """In-order events split across 3 micro-batches must close exactly the
+    sessions the batch twin closes (the streaming path's only hard oracle:
+    its batch formulation, which is DuckDB-checked). Open tails are
+    excluded — they await the processing-time timeout."""
+    from fluent_plugin_geoip_spark.streaming.sessionize import sessionize_batch
+    batches = [
+        [("10.0.0.1", "2024-01-01 00:00:00"),
+         ("10.0.0.1", "2024-01-01 00:10:00"),
+         ("10.0.0.2", "2024-01-01 00:05:00")],
+        [("10.0.0.1", "2024-01-01 01:00:00"),
+         ("10.0.0.1", "2024-01-01 01:05:00")],
+        [("10.0.0.1", "2024-01-01 03:00:00"),
+         ("10.0.0.2", "2024-01-01 02:00:00")],
+    ]
+    src = str(tmp_path / "events")
+    for rows in batches:
+        df = spark.createDataFrame(rows, "client_ip string, ts string") \
+                  .withColumn("warc_ts", F.to_timestamp("ts")).drop("ts")
+        df.coalesce(1).write.mode("append").parquet(src)
+        time.sleep(0.05)  # distinct mtimes → deterministic batch order
+
+    all_df = spark.createDataFrame(
+        [r for b in batches for r in b], "client_ip string, ts string") \
+        .withColumn("warc_ts", F.to_timestamp("ts")).drop("ts")
+    batch_rows = sessionize_batch(all_df, gap_minutes=30).collect()
+    # drop each key's last (still-open) session
+    last_start = {}
+    for r in batch_rows:
+        last_start[r.client_ip] = max(last_start.get(r.client_ip, ""),
+                                      str(r.session_start))
+    expected = {(r.client_ip, str(r.session_start), str(r.session_end)):
+                r.n_events for r in batch_rows
+                if str(r.session_start) != last_start[r.client_ip]}
+    assert len(expected) == 3  # two closed for .1, one for .2
+
+    got = _run_session_stream(spark, src, str(tmp_path / "ckpt"),
+                              "sessions_eq_test", expected)
+    assert got == expected
+
+
+def test_sessionize_stream_late_event_divergence(spark, tmp_path):
+    """Pins the DOCUMENTED late-data divergence (make_session_fn): an event
+    older than the open session's start is absorbed backwards into the open
+    session instead of re-opening/re-splitting history as the batch
+    formulation would. Sequence (one event per micro-batch):
+    00:00 | 02:00 (closes the first) | 00:05 late | 05:00 (closes).
+    Stream: (00:00,00:00,1) and (00:05,02:00,2).
+    Batch on the same events would give (00:00,00:05,2), (02:00,02:00,1)."""
+    src = str(tmp_path / "events")
+    for ts in ["2024-01-01 00:00:00", "2024-01-01 02:00:00",
+               "2024-01-01 00:05:00", "2024-01-01 05:00:00"]:
+        df = spark.createDataFrame([("9.9.9.9", ts)],
+                                   "client_ip string, ts string") \
+                  .withColumn("warc_ts", F.to_timestamp("ts")).drop("ts")
+        df.coalesce(1).write.mode("append").parquet(src)
+        time.sleep(0.05)
+
+    expected = {("9.9.9.9", "2024-01-01 00:00:00", "2024-01-01 00:00:00"): 1,
+                ("9.9.9.9", "2024-01-01 00:05:00", "2024-01-01 02:00:00"): 2}
+    got = _run_session_stream(spark, src, str(tmp_path / "ckpt"),
+                              "sessions_late_test", expected)
+    assert got == expected
+
+
 def test_foreach_batch_replay_is_idempotent(spark, tmp_path):
     """Crash between sink write and checkpoint commit re-delivers a batch;
     the batch-id-keyed dynamic overwrite must replace, not duplicate."""
