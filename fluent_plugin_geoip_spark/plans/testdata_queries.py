@@ -908,6 +908,96 @@ FROM scored WHERE rank <= {k}
 """
 
 
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection under the hard gate (round 4).
+    The driver's embeddings table has no natural near-dupes (max pairwise
+    cosine ≈ 0.51), so the query deterministically plants 20: for vec_id <
+    20 a copy at vec_id+10000 with the first component shifted by +0.1
+    (the vectors are unit-norm; cosine ≈ 0.995 vs its source — far from both the 0.95 threshold and
+    the 0.51 background, so engine-local cosine rounding can't flip a
+    pair). The oracle re-derives the SAME LSH blocking from the same
+    hyperplane literals, so bucketing, candidate generation and the
+    threshold are all on the hook; ids only (raw cosines are engine-local
+    fp)."""
+    from ..operators.similarity import embedding_near_dupes
+    e = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+         .select("vec_id",
+                 F.transform("embedding",
+                             lambda x: x.cast("double")).alias("embedding")))
+    planted = e.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.concat(F.array(F.get("embedding", 0) + F.lit(0.1)),
+                 F.slice("embedding", 2, 63)).alias("embedding"))
+    allv = e.unionByName(planted)
+    out = embedding_near_dupes(allv, threshold=0.95, dim=64)
+    return out.select("id_a", "id_b").orderBy("id_a", "id_b")
+
+
+def _near_dup_oracle_sql(dim: int = 64, nbits: int = 8, n_tables: int = 4,
+                         seed: int = 42, threshold: float = 0.95,
+                         n_planted: int = 20) -> str:
+    """Oracle for q_embedding_near_dups: same planted perturbation, same
+    hyperplane buckets (inlined literals), same any-table candidate join."""
+    from ..operators.similarity import _hyperplanes
+    bucket_cols = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, nbits, seed + 1000 * t)
+        bits = []
+        for j in range(nbits):
+            lits = ", ".join(repr(float(x)) for x in planes[j])
+            bits.append(f"(CASE WHEN list_dot_product(v, [{lits}]) >= 0 "
+                        f"THEN {1 << (nbits - 1 - j)} ELSE 0 END)")
+        bucket_cols.append("(" + " + ".join(bits) + f") AS b{t}")
+    on = " OR ".join(f"a.b{t} = b.b{t}" for t in range(n_tables))
+    return f"""
+WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+planted AS (SELECT vec_id + 10000 AS vec_id, [v[1] + 0.1] || v[2:] AS v
+            FROM e0 WHERE vec_id < {n_planted}),
+e AS (SELECT * FROM e0 UNION ALL SELECT * FROM planted),
+sig AS (SELECT vec_id, v, {', '.join(bucket_cols)} FROM e),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+  FROM sig a JOIN sig b ON ({on})
+  WHERE a.vec_id < b.vec_id)
+SELECT id_a, id_b FROM cand
+WHERE list_cosine_similarity(va, vb) >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact character-5-gram Jaccard pairs under the hard gate (round 4):
+    all pairs over a bounded id slice (all-pairs is the documented
+    small-input path; at scale the operator takes LSH candidates — see
+    dedup_minhash_lsh, whose verification leg IS this operator). Raw grams
+    (exact_grams=True) make the Jaccard an integer ratio — bit-identical
+    across engines, so the double survives the value hash."""
+    from ..operators.dedup import ngram_jaccard_pairs
+    d = _documents(spark, sf_dir).filter(F.col("doc_id") < 300)
+    out = ngram_jaccard_pairs(d, n=5, threshold=0.5, exact_grams=True)
+    return out.select("id_a", "id_b", "jaccard").orderBy("id_a", "id_b")
+
+
+ORACLE_NGRAM_JACCARD = r"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(
+             length(lower(regexp_replace(text, '\s+', ' ', 'g'))) - 4, 1)),
+           i -> substr(lower(regexp_replace(text, '\s+', ' ', 'g')), i, 5)))
+           AS grams
+  FROM documents WHERE doc_id < 300
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+         / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode certified end to end: deterministic PPM payloads →
     pure-NumPy P6 decode → integer pixel stats + average-hash. The oracle
@@ -1018,6 +1108,8 @@ QUERIES = {
     "topk_per_group": q_topk_per_group,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "embedding_near_dups": q_embedding_near_dups,
     "ann_lsh_topk": q_ann_lsh_topk,
     "multimodal_features": q_multimodal_features,
     "multimodal_audio_stats": q_multimodal_audio_stats,
@@ -1052,6 +1144,8 @@ ORACLES = {
     "ann_lsh_topk": _ann_oracle_sql(),
     "dedup_simhash": ORACLE_SIMHASH,
     "dedup_minhash_lsh": ORACLE_MINHASH,
+    "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "embedding_near_dups": _near_dup_oracle_sql(),
     "multimodal_audio_stats": ORACLE_MULTIMODAL_AUDIO,
     "multimodal_video_frames": ORACLE_MULTIMODAL_VIDEO,
 }
