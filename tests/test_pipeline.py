@@ -120,6 +120,56 @@ def test_html_to_text_goldens(spark):
               .first().t == "bin&ary"
 
 
+def test_numeric_entity_decode_differential(spark):
+    """Differential check of the single-pass numeric-entity decoder against
+    an independently written Python reference (re.split tokenizer, not a
+    marker pass) over a seeded random corpus of adversarial fragments:
+    in/out-of-ASCII codes, leading zeros, hex case, over-long digit runs,
+    truncated entities, double escapes, marker bytes."""
+    import random
+    import re
+
+    from fluent_plugin_geoip_spark.operators.parse import html_to_text
+
+    named = [("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+             ("&quot;", '"'), ("&apos;", "'"), ("&amp;", "&")]
+
+    def ref(s: str) -> str:
+        s = s.replace("\x00", "").replace("\x01", "")
+        s = re.sub(r"&#(?:160|[xX]0*[Aa]0);", " ", s)
+        parts = re.split(r"&#([0-9]{1,7}|[xX][0-9A-Fa-f]{1,6});", s)
+        out = []
+        for i, p in enumerate(parts):
+            if i % 2 == 0:
+                for ent, ch in named:
+                    p = p.replace(ent, ch)
+                out.append(p)
+            else:
+                num = int(p[1:], 16) if p[0] in "xX" else int(p)
+                out.append(chr(num) if 9 <= num <= 126 else f"&#{p};")
+        # .strip(" ") not .strip(): Python's bare strip eats \x1c-\x1f
+        # (Unicode whitespace), Spark's trim only spaces
+        return re.sub(r"[ \t\n\x0b\f\r]+", " ", "".join(out)).strip(" ")
+
+    rng = random.Random(1234)
+    frags = (["plain ", "x", "; ", "&", "#", "&#", "&#;", "&#x;", "0", "9",
+              "\x00", "\x01", " & # 6 5 ;", "&amp;#65;", "&#38;lt;",
+              "&#99999999;", "&#xFFFFFFF;", "&#0000072;", "&#x0041;",
+              "&nbsp;", "&lt;b&gt;", "&#160;", "&#xA0;", "&#xa0;"]
+             + [f"&#{n};" for n in (0, 8, 9, 10, 13, 31, 32, 64, 65, 126,
+                                    127, 128, 160, 255, 1070, 100000)]
+             + [f"&#x{n:x};" for n in (8, 9, 33, 65, 126, 127, 160, 0x4F60)]
+             + [f"&#x{n:X};" for n in (9, 65, 126, 255)])
+    cases = ["".join(rng.choice(frags) for _ in range(rng.randint(1, 12)))
+             for _ in range(200)]
+    df = spark.createDataFrame([(c,) for c in cases], "html string")
+    got = [r.t for r in
+           df.select(html_to_text(F.col("html"), decoded=True).alias("t"))
+           .collect()]
+    for c, g in zip(cases, got):
+        assert g == ref(c), (repr(c), repr(g), repr(ref(c)))
+
+
 def test_html_to_text_is_native(spark):
     """The extractor must stay JVM-side: no Python/Arrow eval nodes in the
     plan (it is built for the 100 TB parse hot path)."""
