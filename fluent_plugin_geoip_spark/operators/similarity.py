@@ -19,9 +19,13 @@ once on bucket keys, which are uniform hashes (no skew).
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F, types as T
+
+log = logging.getLogger(__name__)
 
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
@@ -136,6 +140,52 @@ def lsh_signature_col(vec_col: str, planes: np.ndarray):
     return sig
 
 
+def lsh_buckets_all_tables(vec_col: str, planes_list: list[np.ndarray],
+                           use_pandas: bool = True):
+    """``array<long>`` of one bucket id per hash table, computed in ONE
+    Arrow crossing: the per-table plane matrices are stacked so a single
+    (batch × dim) @ (dim × tables·nbits) BLAS matmul yields every table's
+    sign bits at once — vs one crossing + one matmul per table (round 4;
+    the multi-table plan previously unioned per-table joins).
+    ``use_pandas=False`` composes the no-Python JVM fold per table."""
+    if not use_pandas:
+        return F.array(*[lsh_signature_col(vec_col, p) for p in planes_list])
+    nbits = planes_list[0].shape[0]
+    n_tables = len(planes_list)
+    stacked = np.concatenate(
+        [p.astype(np.float64).T for p in planes_list], axis=1)  # dim × T·nbits
+    weights = (1 << np.arange(nbits - 1, -1, -1)).astype(np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def buckets(v: pd.Series) -> pd.Series:
+        mat = np.array(list(v), dtype=np.float64)
+        bits = (mat @ stacked) >= 0
+        b = bits.reshape(len(mat), n_tables, nbits) @ weights
+        return pd.Series(list(b.astype(np.int64)))
+
+    return buckets(F.col(vec_col))
+
+
+def _table_bucket_entries(df: DataFrame, id_out: str,
+                          planes_list: list[np.ndarray], vec_col: str = "vec",
+                          use_pandas: bool = True) -> DataFrame:
+    """Narrow (id, t, bucket) rows — ids only; vectors never enter the
+    bucket shuffle (they are re-attached to the few candidates later)."""
+    return (df.select(F.col("id").alias(id_out),
+                      F.posexplode(lsh_buckets_all_tables(
+                          vec_col, planes_list, use_pandas))
+                      .alias("t", "bucket")))
+
+
+def _cos_udf():
+    @F.pandas_udf(T.DoubleType())
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        am = _normalize(np.array(list(a), dtype=np.float64))
+        bm = _normalize(np.array(list(b), dtype=np.float64))
+        return pd.Series((am * bm).sum(axis=1))
+    return cos
+
+
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding",
              nbits: int = 8, n_tables: int = 4, seed: int = 42,
@@ -145,34 +195,35 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     """Approximate top-k: candidates share an LSH bucket in ANY of
     ``n_tables`` hash tables; exact cosine re-rank on candidates.
 
-    Recall improves with n_tables; cost is the per-bucket join size. Returns
-    the same schema as ``cosine_topk``. Pass ``dim`` (the vector length) to
+    Plan shape (round 4): ONE signature crossing per side emitting all
+    tables' buckets, ONE narrow (t, bucket) equi-join over id rows, then
+    vectors re-attached only to the deduplicated candidates — at scale the
+    bucket shuffle moves (id, t, bucket) triples, never embeddings. Recall
+    improves with n_tables; cost is the per-bucket join size. Returns the
+    same schema as ``cosine_topk``. Pass ``dim`` (the vector length) to
     skip the fallback one-row probe job that otherwise infers it (ArrayType
     schemas don't carry a length).
     """
-    sig = lsh_bucket_pandas if use_pandas_sig else lsh_signature_col
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
-    c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
-    cand = None
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, nbits, seed + 1000 * t)
-        ct = c.withColumn("bucket", sig("cvec", planes))
-        qt = q.withColumn("bucket", sig("qvec", planes))
-        p = qt.join(ct, "bucket").select("query_id", "cid", "qvec", "cvec")
-        cand = p if cand is None else cand.unionByName(p)
-    cand = cand.dropDuplicates(["query_id", "cid"])
+    planes_list = [_hyperplanes(dim, nbits, seed + 1000 * t)
+                   for t in range(n_tables)]
+    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    q = queries.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    csig = _table_bucket_entries(c, "cid", planes_list, use_pandas=use_pandas_sig)
+    qsig = _table_bucket_entries(q, "query_id", planes_list,
+                                 use_pandas=use_pandas_sig)
+    cand = (qsig.join(csig, ["t", "bucket"])
+            .select("query_id", "cid").dropDuplicates(["query_id", "cid"]))
     if exclude_self:
         cand = cand.filter(F.col("query_id") != F.col("cid"))
+    cand = (cand
+            .join(q.select(F.col("id").alias("query_id"),
+                           F.col("vec").alias("qvec")), "query_id")
+            .join(c.select(F.col("id").alias("cid"),
+                           F.col("vec").alias("cvec")), "cid"))
 
-    @F.pandas_udf(T.DoubleType())
-    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
-        am = _normalize(np.array(list(a), dtype=np.float64))
-        bm = _normalize(np.array(list(b), dtype=np.float64))
-        return pd.Series((am * bm).sum(axis=1))
-
-    scored = cand.withColumn("cosine", cos(F.col("qvec"), F.col("cvec")))
+    scored = cand.withColumn("cosine", _cos_udf()(F.col("qvec"), F.col("cvec")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("cid"))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -186,31 +237,49 @@ def embedding_near_dupes(df: DataFrame, threshold: float = 0.95,
                          nbits: int = 8, n_tables: int = 4,
                          seed: int = 42,
                          use_pandas_sig: bool = True,
-                         dim: int | None = None) -> DataFrame:
+                         dim: int | None = None,
+                         max_bucket: int | None = None) -> DataFrame:
     """Near-duplicate embedding pairs (cosine ≥ threshold) via LSH blocking.
-    Returns (id_a, id_b, cosine). Pass ``dim`` to skip the fallback one-row
-    probe job that otherwise infers the vector length."""
-    sig = lsh_bucket_pandas if use_pandas_sig else lsh_signature_col
+    Returns (id_a, id_b, cosine).
+
+    Plan shape (round 4): one all-tables signature crossing, intra-bucket
+    pair expansion on collected id lists (the minhash pattern — no
+    vector-carrying self-join), exact cosine only on deduplicated
+    candidates. ``max_bucket`` (optional) drops-and-logs over-full buckets
+    — at web scale a degenerate bucket (e.g. an all-zeros embedding cloud)
+    would otherwise emit O(n²) pairs; None keeps exact blocking semantics
+    (what the oracle-gated query uses). Pass ``dim`` to skip the fallback
+    one-row probe job that otherwise infers the vector length."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
+    planes_list = [_hyperplanes(dim, nbits, seed + 1000 * t)
+                   for t in range(n_tables)]
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    pairs = None
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, nbits, seed + 1000 * t)
-        bt = base.withColumn("bucket", sig("vec", planes))
-        a = bt.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "bucket")
-        b = bt.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "bucket")
-        p = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b")) \
-             .select("id_a", "id_b", "vec_a", "vec_b")
-        pairs = p if pairs is None else pairs.unionByName(p)
-    pairs = pairs.dropDuplicates(["id_a", "id_b"])
-
-    @F.pandas_udf(T.DoubleType())
-    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
-        am = _normalize(np.array(list(a), dtype=np.float64))
-        bm = _normalize(np.array(list(b), dtype=np.float64))
-        return pd.Series((am * bm).sum(axis=1))
-
-    return (pairs.withColumn("cosine", cos(F.col("vec_a"), F.col("vec_b")))
+    sigs = _table_bucket_entries(base, "id", planes_list,
+                                 use_pandas=use_pandas_sig)
+    grouped = (sigs.groupBy("t", "bucket")
+               .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+               .withColumn("bucket_size", F.size("ids"))
+               .filter(F.col("bucket_size") > 1))
+    if max_bucket is not None:
+        grouped = grouped.persist()
+        n_dropped = grouped.filter(F.col("bucket_size") > max_bucket).count()
+        if n_dropped:
+            log.warning("embedding_near_dupes: dropping %d over-full "
+                        "buckets (> %d ids)", n_dropped, max_bucket)
+        grouped = grouped.filter(F.col("bucket_size") <= max_bucket)
+    pairs = (grouped
+             .select(F.explode(F.expr(
+                 "flatten(transform(ids, (x, i) -> "
+                 "transform(slice(ids, i + 2, size(ids)), "
+                 "y -> struct(x as id_a, y as id_b))))")).alias("p"))
+             .select("p.id_a", "p.id_b")
+             .distinct())
+    cand = (pairs
+            .join(base.select(F.col("id").alias("id_a"),
+                              F.col("vec").alias("vec_a")), "id_a")
+            .join(base.select(F.col("id").alias("id_b"),
+                              F.col("vec").alias("vec_b")), "id_b"))
+    return (cand.withColumn("cosine", _cos_udf()(F.col("vec_a"), F.col("vec_b")))
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))

@@ -168,6 +168,25 @@ def test_embedding_near_dupes_finds_planted(spark, embs):
         assert (r.vec_id, 10_000 + r.vec_id) in got
 
 
+def test_embedding_near_dupes_bucket_cap(spark, embs):
+    """max_bucket=1 drops every multi-id bucket → no candidate pairs at all
+    (the skew guard is a strict subset of exact blocking, never additive)."""
+    rows = embs.limit(3).collect()
+    planted = [Row(vec_id=10_000 + r.vec_id,
+                   embedding=[v * 1.0001 for v in r.embedding],
+                   label=r.label) for r in rows]
+    df = embs.unionByName(spark.createDataFrame(planted, embs.schema))
+    capped = similarity.embedding_near_dupes(
+        df, threshold=0.999, n_tables=8, max_bucket=1)
+    assert capped.count() == 0
+    # a generous cap changes nothing vs exact blocking
+    wide = similarity.embedding_near_dupes(
+        df, threshold=0.999, n_tables=8, max_bucket=10_000)
+    exact = similarity.embedding_near_dupes(df, threshold=0.999, n_tables=8)
+    assert ({(r.id_a, r.id_b) for r in wide.collect()}
+            == {(r.id_a, r.id_b) for r in exact.collect()})
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
