@@ -183,7 +183,11 @@ def _cos_udf():
         am = _normalize(np.array(list(a), dtype=np.float64))
         bm = _normalize(np.array(list(b), dtype=np.float64))
         return pd.Series((am * bm).sum(axis=1))
-    return cos
+    # cosine is deterministic in fact; marked nondeterministic so Catalyst
+    # doesn't push a threshold Filter beneath the Project and evaluate the
+    # UDF twice per candidate (observed: two ArrowEvalPython nodes, one
+    # feeding the Filter and one the output Project)
+    return cos.asNondeterministic()
 
 
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,

@@ -112,3 +112,52 @@ def test_asn_enrich_fuses_into_one_crossing(spark, pages_parquet):
     tree = plan.split("\n\n")[0]
     assert tree.count("ArrowEvalPython") == 1, tree
     assert "Exchange" not in plan
+
+
+def test_near_dupes_bucket_shuffle_is_narrow(spark):
+    """The LSH bucket exchange must move (id, t, bucket) rows only — never
+    embedding vectors (round-4 plan shape): exactly TWO Python crossings
+    (all-tables signature + candidate cosine), and the pre-aggregate
+    exchange's hashpartitioning is on (t, bucket)."""
+    import numpy as np
+
+    from fluent_plugin_geoip_spark.operators.similarity import (
+        embedding_near_dupes,
+    )
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.standard_normal(16)])
+            for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = embedding_near_dupes(df, threshold=0.9, dim=16)
+    plan = explain(out)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("ArrowEvalPython") == 2, tree
+    # the signature crossing feeds a posexplode then the bucket exchange;
+    # the vector column must not appear in any Exchange's partitioning or
+    # in the aggregate keys
+    assert "hashpartitioning(t" in plan or "hashpartitioning(bucket" in plan, plan
+
+
+def test_quality_scores_is_native_and_pruned(spark, tmp_path_factory):
+    """quality_scores: no Python in the plan, and the parquet scan reads
+    only (doc_id, text)."""
+    d = str(tmp_path_factory.mktemp("qs") / "documents.parquet")
+    spark.createDataFrame(
+        [(1, "some text here", "en", 3)],
+        "doc_id long, text string, lang string, extra long"
+    ).write.parquet(d)
+    # build directly on the written table (q_quality_scores expects an
+    # sf_dir layout; replicate its projection here)
+    from fluent_plugin_geoip_spark.operators.textstats import (
+        bpe_ish_token_count, quality_score_raw,
+    )
+    df = spark.read.parquet(d)
+    t = F.col("text")
+    out = df.select(
+        "doc_id",
+        bpe_ish_token_count(t).alias("n_bpe_tokens"),
+        F.round(quality_score_raw(t) * 1e6).cast("long").alias("quality_micros"))
+    plan = explain(out)
+    assert "Python" not in plan and "Arrow" not in plan
+    scan = plan[plan.index("ReadSchema"):].splitlines()[0]
+    assert "lang" not in scan and "extra" not in scan, scan
