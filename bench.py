@@ -60,7 +60,7 @@ BENCH_QUERIES = [
     "json_props_rollup", "agg_pricing_summary", "dedup_profile",
     "token_counts", "text_quality_counts", "quality_scores",
     "lang_id_matrix", "doc_fingerprints", "embedding_topk",
-    "dedup_ngram_jaccard", "embedding_near_dups",
+    "dedup_ngram_jaccard", "embedding_near_dups", "ann_ivf_topk",
 ]
 
 

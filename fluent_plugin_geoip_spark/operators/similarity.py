@@ -10,11 +10,17 @@
   product with per-bucket blocks.
 - ``embedding_near_dupes``: all pairs with cosine ≥ threshold via the same
   LSH bucketing (embedding near-dup dedup for training data).
+- ``ivf_topk``: inverted-file ANN — deterministic spherical k-means coarse
+  quantizer (``train_ivf_centroids``, driver-side over a bounded sample),
+  cell-assignment + nprobe cell probing, exact cosine re-rank. The
+  data-adaptive alternative to the data-oblivious LSH tables.
 
 Scale notes: queries are broadcast (small side); the corpus is only scanned,
 never shuffled, in ``cosine_topk``; the global top-k reduces
-(partitions × q × k) rows — thousands, not millions. ``lsh_topk`` shuffles
-once on bucket keys, which are uniform hashes (no skew).
+(partitions × q × k) rows — thousands, not millions. ``lsh_topk`` and
+``ivf_topk`` shuffle narrow (id, bucket/cell) rows — vectors are re-attached
+only to deduplicated candidates, so embeddings never ride the blocking
+exchange.
 """
 
 from __future__ import annotations
@@ -287,3 +293,103 @@ def embedding_near_dupes(df: DataFrame, threshold: float = 0.95,
     return (cand.withColumn("cosine", _cos_udf()(F.col("vec_a"), F.col("vec_b")))
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+def train_ivf_centroids(df: DataFrame, n_cells: int = 16,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        sample_limit: int = 512, iters: int = 5,
+                        seed: int = 42) -> np.ndarray:
+    """Deterministic spherical k-means on a bounded, id-ordered driver
+    sample → (n_cells, dim) L2-normalized centroid matrix.
+
+    The training itself never needs cross-engine restatement: like the LSH
+    hyperplanes, the centroids are inlined as literals into both the Spark
+    assignment and the SQL oracle, so only assignment/probe/re-rank are on
+    the parity hook. At corpus scale train on a sample exactly like this —
+    IVF coarse quantizers are always trained on a subset."""
+    rows = (df.orderBy(id_col).limit(sample_limit).select(vec_col).collect())
+    X = _normalize(np.array([r[0] for r in rows], dtype=np.float64))
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=n_cells, replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ _normalize(C).T, axis=1)
+        for j in range(n_cells):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    return _normalize(C)
+
+
+def _ivf_cell_udf(centroids: np.ndarray):
+    """Cell id = argmax cosine vs centroids (first index wins ties — the
+    same tie-break the SQL restatement's list_indexof gives). Raw dots
+    suffice: per-row normalization scales every dot equally."""
+    Ct = centroids.T.copy()  # (dim, n_cells)
+
+    @F.pandas_udf(T.IntegerType())
+    def cell(v: pd.Series) -> pd.Series:
+        mat = np.array(list(v), dtype=np.float64)
+        return pd.Series(np.argmax(mat @ Ct, axis=1).astype(np.int32))
+
+    return cell
+
+
+def _ivf_probe_udf(centroids: np.ndarray, nprobe: int):
+    """Top-``nprobe`` cells per query, ordered by dot DESC then index ASC
+    (stable argsort — matches the oracle's row_number tie-break)."""
+    Ct = centroids.T.copy()
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe(v: pd.Series) -> pd.Series:
+        mat = np.array(list(v), dtype=np.float64)
+        order = np.argsort(-(mat @ Ct), axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(order.astype(np.int32)))
+
+    return probe
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             n_cells: int = 16, nprobe: int = 4,
+             centroids: np.ndarray | None = None,
+             seed: int = 42, exclude_self: bool = True) -> DataFrame:
+    """Approximate top-k via an inverted-file index: corpus vectors live in
+    their nearest-centroid cell; each query probes its ``nprobe`` nearest
+    cells; exact cosine re-ranks the cell-local candidates.
+
+    Plan shape mirrors the round-4 LSH path: one narrow assignment crossing
+    per side (ids + cell only in the shuffle), vectors re-attached to
+    deduplicated candidates, cosine evaluated once. vs LSH: cells adapt to
+    the data distribution (k-means), so recall per candidate is typically
+    higher on clustered corpora; nprobe trades recall for candidates.
+    Returns (query_id, neighbor_id, cosine, rank)."""
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, n_cells, id_col, vec_col,
+                                        seed=seed)
+    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    q = queries.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    ccell = c.select(F.col("id").alias("cid"),
+                     _ivf_cell_udf(centroids)("vec").alias("cell"))
+    qcell = q.select(F.col("id").alias("query_id"),
+                     F.explode(_ivf_probe_udf(centroids, nprobe)("vec"))
+                     .alias("cell"))
+    cand = (qcell.join(ccell, "cell")
+            .select("query_id", "cid").dropDuplicates(["query_id", "cid"]))
+    if exclude_self:
+        cand = cand.filter(F.col("query_id") != F.col("cid"))
+    cand = (cand
+            .join(q.select(F.col("id").alias("query_id"),
+                           F.col("vec").alias("qvec")), "query_id")
+            .join(c.select(F.col("id").alias("cid"),
+                           F.col("vec").alias("cvec")), "cid"))
+    scored = cand.withColumn("cosine", _cos_udf()(F.col("qvec"), F.col("cvec")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cid"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", F.col("cid").alias("neighbor_id"),
+                    "cosine", "rank"))

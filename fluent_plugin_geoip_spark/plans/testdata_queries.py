@@ -998,6 +998,73 @@ ORDER BY id_a, id_b
 """
 
 
+def _ivf_fixed_centroids(dim: int = 64, n_cells: int = 16, seed: int = 7):
+    """Seeded random unit centroids for the oracle-gated IVF query. The
+    operator's k-means training (train_ivf_centroids) is data-dependent and
+    the driver's oracle SQL is a static string, so the GATED query fixes
+    the coarse quantizer the same way the LSH queries fix hyperplanes;
+    the trained path is certified by a recall pytest instead."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    C = rng.standard_normal((n_cells, dim))
+    return C / np.linalg.norm(C, axis=1, keepdims=True)
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN under the hard gate (round 4): corpus
+    vectors assigned to their max-dot centroid cell, queries probe the
+    nprobe nearest cells, exact cosine re-ranks cell-local candidates. The
+    oracle re-derives assignment (first-index argmax via list_indexof on
+    the same centroid literals), probing (row_number over per-cell dots,
+    dot DESC then index ASC — the operator's stable argsort) and the
+    re-rank. Near-argmax dot ties are the only cross-engine hazard and sit
+    ~1e-12 below the margins real data shows (same robustness argument as
+    the LSH sign bits)."""
+    from ..operators.similarity import ivf_topk
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 10)
+    return ivf_topk(e, q, k=5, n_cells=16, nprobe=4,
+                    centroids=_ivf_fixed_centroids()) \
+        .select("query_id", "neighbor_id", "rank")
+
+
+def _ivf_oracle_sql(n_cells: int = 16, nprobe: int = 4, k: int = 5,
+                    nq: int = 10) -> str:
+    C = _ivf_fixed_centroids(n_cells=n_cells)
+    cent_lits = ", ".join(
+        "[" + ", ".join(repr(float(x)) for x in row) + "]" for row in C)
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+dots AS (
+  SELECT vec_id, v,
+         list_transform([{cent_lits}], c -> list_dot_product(v, c)) AS ds
+  FROM e),
+cells AS (
+  SELECT vec_id, v,
+         CAST(list_indexof(ds, list_aggregate(ds, 'max')) - 1 AS INT) AS cell
+  FROM dots),
+qprobe AS (
+  SELECT vec_id AS query_id, v AS qv, g.idx - 1 AS cell,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY ds[g.idx] DESC, g.idx) AS pr
+  FROM dots, generate_series(1, {n_cells}) AS g(idx)
+  WHERE vec_id < {nq}),
+cand AS (
+  SELECT DISTINCT p.query_id, c.vec_id AS cid, p.qv, c.v AS cv
+  FROM (SELECT * FROM qprobe WHERE pr <= {nprobe}) p
+  JOIN cells c ON c.cell = p.cell
+  WHERE c.vec_id <> p.query_id),
+scored AS (
+  SELECT query_id, cid AS neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY list_cosine_similarity(qv, cv) DESC, cid)
+           AS rank
+  FROM cand)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+FROM scored WHERE rank <= {k}
+"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode certified end to end: deterministic PPM payloads →
     pure-NumPy P6 decode → integer pixel stats + average-hash. The oracle
@@ -1111,6 +1178,7 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "embedding_near_dups": q_embedding_near_dups,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "multimodal_features": q_multimodal_features,
     "multimodal_audio_stats": q_multimodal_audio_stats,
     "multimodal_video_frames": q_multimodal_video_frames,
@@ -1142,6 +1210,7 @@ ORACLES = {
     "topk_per_group": ORACLE_TOPK,
     "multimodal_features": ORACLE_MULTIMODAL,
     "ann_lsh_topk": _ann_oracle_sql(),
+    "ann_ivf_topk": _ivf_oracle_sql(),
     "dedup_simhash": ORACLE_SIMHASH,
     "dedup_minhash_lsh": ORACLE_MINHASH,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,

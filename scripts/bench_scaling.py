@@ -51,11 +51,13 @@ from fluent_plugin_geoip_spark.plans.pipeline import GeoipPipeline
 from fluent_plugin_geoip_spark.sources.pages import generate_pages
 
 cpus, n, mode, workdir = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
+codec = sys.argv[5] if len(sys.argv) > 5 else "snappy"
 spark = (SparkSession.builder.master(f"local[{{cpus}}]")
          .config("spark.sql.shuffle.partitions", str(cpus))
          .config("spark.ui.enabled", "false")
          .config("spark.local.dir", workdir + "/local")
          .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+         .config("spark.sql.parquet.compression.codec", codec)
          .config("spark.driver.memory", "24g").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 pipe = GeoipPipeline(spark)
@@ -119,12 +121,13 @@ def hardware_ceiling(base: int, big: int, reps: int = 2) -> dict:
             "hw_speedup": round(b / a, 3)}
 
 
-def run_level(cpus: int, n: int, mode: str) -> dict:
+def run_level(cpus: int, n: int, mode: str, codec: str = "snappy") -> dict:
     workdir = tempfile.mkdtemp(dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
                                prefix=f"geoip_scale_{cpus}_")
     try:
         cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c",
-               _CHILD.format(repo=REPO), str(cpus), str(n), mode, workdir]
+               _CHILD.format(repo=REPO), str(cpus), str(n), mode, workdir,
+               codec]
         out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
         lines = out.stdout.strip().splitlines()
         if not lines:
@@ -145,12 +148,14 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000_000
     base = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     mult = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    codec = sys.argv[4] if len(sys.argv) > 4 else "snappy"
     big = base * mult
     hw = hardware_ceiling(base, big)
-    result: dict = {"rows": n, "cores": [base, big], "hardware": hw}
+    result: dict = {"rows": n, "cores": [base, big], "codec": codec,
+                    "hardware": hw}
     for mode in ("full", "compute"):
-        lo = run_level(base, n, mode)
-        hi = run_level(big, n, mode)
+        lo = run_level(base, n, mode, codec)
+        hi = run_level(big, n, mode, codec)
         speedup = hi["rows_per_sec"] / lo["rows_per_sec"]
         result[mode] = {
             f"rows_per_sec_local{base}": round(lo["rows_per_sec"], 1),

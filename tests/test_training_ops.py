@@ -156,6 +156,29 @@ def test_lsh_topk_overlap_on_clustered_data(spark):
     assert len(a & e) / len(e) >= 0.8, (len(a & e), len(e))
 
 
+def test_ivf_topk_overlap_on_clustered_data(spark):
+    """IVF with k-means-trained cells must recover most exact neighbours on
+    clustered data — the coarse quantizer adapts to the cluster structure,
+    so nprobe=3 of 12 cells suffices."""
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((10, 32)) * 3
+    rows = []
+    for i in range(400):
+        c = i % 10
+        rows.append((i, (centers[c] + rng.standard_normal(32) * 0.3).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk(df, queries, k=10)
+    approx = similarity.ivf_topk(df, queries, k=10, n_cells=12, nprobe=3)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    assert len(a & e) / len(e) >= 0.8, (len(a & e), len(e))
+    # training is deterministic: same seed → identical centroids
+    c1 = similarity.train_ivf_centroids(df, n_cells=12)
+    c2 = similarity.train_ivf_centroids(df, n_cells=12)
+    assert (c1 == c2).all()
+
+
 def test_embedding_near_dupes_finds_planted(spark, embs):
     rows = embs.limit(3).collect()
     planted = [Row(vec_id=10_000 + r.vec_id,
