@@ -998,6 +998,46 @@ ORDER BY id_a, id_b
 """
 
 
+# S2 under the hard gate (round 4): fluentd tag-glob dispatch. Tags are
+# derived deterministically per event; the dispatch table exercises every
+# grammar feature (*, **, zero-part 'a.**'-matches-'a', braces with globs
+# inside, first-match-wins). The compiled regexes are RE2-safe by
+# construction (dispatch.py), so the oracle runs the IDENTICAL compiled
+# pattern strings through DuckDB's regexp_matches in the same order.
+_DISPATCH_TAGS = ["access.apache", "access.nginx.prod", "test.cool",
+                  "test.hoge.fuga", "syslog.host1.messages", "web.nginx",
+                  "metrics", "access"]
+_DISPATCH_ROUTES = [("access.apache", "apache"), ("access.**", "access_all"),
+                    ("test.*", "test_one"), ("test.**", "test_all"),
+                    ("*.nginx", "nginx_any"), ("{metrics,syslog.**}", "ops")]
+
+
+def q_tag_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dispatch import dispatch_table
+    df = _events(spark, sf_dir).withColumn(
+        "tag", F.element_at(F.array(*[F.lit(t) for t in _DISPATCH_TAGS]),
+                            (F.col("event_id") % 8).cast("int") + 1))
+    out = dispatch_table(df, _DISPATCH_ROUTES)
+    return (out.groupBy("tag", F.coalesce(F.col("route"), F.lit("__none__"))
+                        .alias("route"))
+            .agg(F.count("*").alias("n")))
+
+
+def _dispatch_oracle_sql() -> str:
+    from ..operators.dispatch import tag_pattern_to_regex
+    tag_lits = ", ".join(f"'{t}'" for t in _DISPATCH_TAGS)
+    cases = " ".join(
+        f"WHEN regexp_matches(tag, '{tag_pattern_to_regex(p)}') "
+        f"THEN '{name}'" for p, name in _DISPATCH_ROUTES)
+    return f"""
+WITH tagged AS (
+  SELECT ([{tag_lits}])[CAST(event_id % 8 AS INT) + 1] AS tag FROM events)
+SELECT tag, coalesce(CASE {cases} END, '__none__') AS route,
+       CAST(count(*) AS BIGINT) AS n
+FROM tagged GROUP BY 1, 2
+"""
+
+
 def _ivf_fixed_centroids(dim: int = 64, n_cells: int = 16, seed: int = 7):
     """Seeded random unit centroids for the oracle-gated IVF query. The
     operator's k-means training (train_ivf_centroids) is data-dependent and
@@ -1155,6 +1195,7 @@ QUERIES = {
     "geoip_multi_key": q_geoip_multi_key,
     "geoip_route_counts": q_geoip_route_counts,
     "geoip_skip_null": q_geoip_skip_null,
+    "tag_dispatch": q_tag_dispatch,
     "parse_access_log": q_parse_access_log,
     "html_extract_text": q_html_extract_text,
     "json_props_rollup": q_json_props_rollup,
@@ -1190,6 +1231,7 @@ ORACLES = {
     "geoip_multi_key": ORACLE_MULTI_KEY,
     "geoip_route_counts": ORACLE_ROUTE_COUNTS,
     "geoip_skip_null": ORACLE_SKIP_NULL,
+    "tag_dispatch": _dispatch_oracle_sql(),
     "parse_access_log": ORACLE_PARSE_ACCESS_LOG,
     "html_extract_text": _html_oracle_sql(),
     "json_props_rollup": ORACLE_JSON_PROPS,
