@@ -55,7 +55,7 @@ def best_of(fn, reps: int = None) -> tuple[float, object]:
 
 BENCH_QUERIES = [
     "geoip_enrich_country_counts", "geoip_enrich_values", "geoip_multi_key",
-    "geoip_route_counts", "tag_dispatch", "geoip_mmdb_enrich", "geoip_mmdb_enrich_v6",
+    "geoip_route_counts", "tag_dispatch", "inject_metadata", "geoip_mmdb_enrich", "geoip_mmdb_enrich_v6",
     "geoip_dat_enrich", "parse_access_log", "html_extract_text",
     "json_props_rollup", "agg_pricing_summary", "dedup_profile",
     "token_counts", "text_quality_counts", "quality_scores",

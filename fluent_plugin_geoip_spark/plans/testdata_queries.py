@@ -998,6 +998,26 @@ ORDER BY id_a, id_b
 """
 
 
+# P4 under the hard gate (round 4): metadata injection — constant tag plus
+# the event time re-exposed (formatted) under a configured key, the inject
+# helper's semantics (filter_geoip.rb:111, README.md:360-367). Hostname
+# injection stays pytest-only (environment-dependent, not oracle-able).
+def q_inject_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.inject import inject_metadata
+    df = _events(spark, sf_dir).select("event_id", "ts")
+    out = inject_metadata(df, tag="geo.enriched", time_col="ts",
+                          time_key="event_time",
+                          time_format="yyyy-MM-dd HH:mm:ss")
+    return out.select("event_id", "tag", "event_time")
+
+
+ORACLE_INJECT = """
+SELECT event_id, 'geo.enriched' AS tag,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_time
+FROM events
+"""
+
+
 # S2 under the hard gate (round 4): fluentd tag-glob dispatch. Tags are
 # derived deterministically per event; the dispatch table exercises every
 # grammar feature (*, **, zero-part 'a.**'-matches-'a', braces with globs
@@ -1196,6 +1216,7 @@ QUERIES = {
     "geoip_route_counts": q_geoip_route_counts,
     "geoip_skip_null": q_geoip_skip_null,
     "tag_dispatch": q_tag_dispatch,
+    "inject_metadata": q_inject_metadata,
     "parse_access_log": q_parse_access_log,
     "html_extract_text": q_html_extract_text,
     "json_props_rollup": q_json_props_rollup,
@@ -1232,6 +1253,7 @@ ORACLES = {
     "geoip_route_counts": ORACLE_ROUTE_COUNTS,
     "geoip_skip_null": ORACLE_SKIP_NULL,
     "tag_dispatch": _dispatch_oracle_sql(),
+    "inject_metadata": ORACLE_INJECT,
     "parse_access_log": ORACLE_PARSE_ACCESS_LOG,
     "html_extract_text": _html_oracle_sql(),
     "json_props_rollup": ORACLE_JSON_PROPS,
