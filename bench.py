@@ -65,8 +65,9 @@ BENCH_QUERIES = [
 
 
 def bench_training_ops(spark: SparkSession, sf_dir: str) -> dict[str, float]:
-    """Heavier training-data operators not in the oracle contract: MinHash-LSH
-    near-dup over documents, SimHash, LSH ANN over embeddings."""
+    """Heavier training-data operators benched at their operator-level entry
+    points (their oracle-gated query forms run in BENCH_QUERIES): MinHash-LSH
+    near-dup over documents, SimHash, LSH ANN, real PPM decode."""
     from pyspark.sql import functions as F
 
     from fluent_plugin_geoip_spark.operators import dedup, similarity
