@@ -90,7 +90,7 @@ class GeoipPipeline:
 
     def run(self, pages: DataFrame, out_dir: str | None = None,
             resume: bool = False, salt_buckets: int = 16,
-            collect_metrics: bool = True) -> PipelineResult:
+            collect_metrics: bool = True, audit: str = "full") -> PipelineResult:
         enriched = self.enrich(pages)
         obs = None
         if collect_metrics:
@@ -99,8 +99,8 @@ class GeoipPipeline:
         if out_dir is not None:
             keep = [c for c in enriched.columns if c != "access"]
             manifest, stats = route_and_write(
-                enriched.select(*keep), out_dir,
-                salt_buckets=salt_buckets, resume=resume, stat_cols=("lang",))
+                enriched.select(*keep), out_dir, salt_buckets=salt_buckets,
+                resume=resume, stat_cols=("lang",), audit=audit)
             # counts derive from the SAME lineage aggregate (no extra scan);
             # on resume the stats cover only partitions written this run
             rows = [("__miss__" if r["route_country"] == "__unrouted__"
