@@ -392,12 +392,16 @@ def simhash_dedup(df: DataFrame, id_col: str = "doc_id",
     grouped = (exploded.groupBy("band", "key")
                .agg(F.sort_array(F.collect_list("id")).alias("ids"))
                .withColumn("bucket_size", F.size("ids"))
-               .filter(F.col("bucket_size") > 1)
-               .persist())
-    n_dropped = grouped.filter(F.col("bucket_size") > max_bucket).count()
-    if n_dropped:
-        log.warning("simhash_dedup: dropping %d over-full buckets (> %d ids)",
-                    n_dropped, max_bucket)
+               .filter(F.col("bucket_size") > 1))
+    # lazy skew-cap accounting (same pattern as embedding_near_dupes): the
+    # dropped-bucket count is an observed metric, not an eager count job on
+    # a persist that was never released
+    import uuid
+    from pyspark.sql import Observation
+    obs = Observation(f"simhash_buckets_{uuid.uuid4().hex[:8]}")
+    grouped = grouped.observe(
+        obs, F.sum(F.when(F.col("bucket_size") > max_bucket, 1)
+                   .otherwise(0)).alias("dropped_buckets"))
     pairs = (grouped.filter(F.col("bucket_size") <= max_bucket)
              .select(F.explode(F.expr(
         "flatten(transform(ids, (x, i) -> "

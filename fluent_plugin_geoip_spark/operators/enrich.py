@@ -53,11 +53,14 @@ class GeoipEnricher:
 
     def _udf_for(self, attrs: list[str]):
         # v4-only DBs take the fast path: IPv4→uint32 parsed JVM-side, the
-        # Arrow crossing carries one long per row. A v6-capable DB must see
-        # the raw string (v6 addresses parse to null in the JVM v4 parser).
+        # Arrow crossing carries one long per row. A v6-capable DB takes the
+        # dual crossing: the same JVM-parsed long for the v4 majority PLUS
+        # the raw string, inspected only where the JVM v4 parse failed
+        # (possible v6 text) — so adding v6 ranges to a DB never demotes
+        # the v4 rows off the long fast path.
         key = tuple(attrs)
         if key not in self._udf_cache:
-            input_type = "string" if self.db.has_ipv6 else "long"
+            input_type = "dual" if self.db.has_ipv6 else "long"
             self._udf_cache[key] = make_lookup_udf(self.spark, self.db, attrs,
                                                    input_type=input_type)
         return self._udf_cache[key]
@@ -83,10 +86,18 @@ class GeoipEnricher:
             # inside the UDF argument expression
             ip_name = f"__ip_{i}"
             addr = accessor_column(comp.accessors[key]).cast("string")
-            df = df.withColumn(
-                ip_name, addr if self.db.has_ipv6 else ipv4_str_to_long(addr))
-            df = df.withColumn(col_name, udf(F.col(ip_name)))
+            df = df.withColumn(ip_name, ipv4_str_to_long(addr))
             ip_cols.append(ip_name)
+            if self.db.has_ipv6:
+                # dual crossing: JVM long for the v4 majority + raw string
+                # for the rows the v4 parser rejected (v6 candidates)
+                str_name = f"__ips_{i}"
+                df = df.withColumn(str_name, addr)
+                df = df.withColumn(col_name,
+                                   udf(F.col(ip_name), F.col(str_name)))
+                ip_cols.append(str_name)
+            else:
+                df = df.withColumn(col_name, udf(F.col(ip_name)))
             geo_cols[key] = col_name
 
         # 2) create_placeholder: typed Column per unique placeholder

@@ -73,7 +73,7 @@ _ENTITIES = [
 # input first, so arbitrary text can't forge a marked region.
 _MARK_A = "\x00"
 _MARK_B = "\x01"
-_ENT_NBSP_NUM_RE = "&#(?:160|[xX]0*[Aa]0);"
+_ENT_NBSP_NUM_RE = "&#(?:0*160|[xX]0*[Aa]0);"  # 0* both arms (r4 ADVICE)
 _ENT_NUM_RE = "&#([0-9]{1,7}|[xX][0-9A-Fa-f]{1,6});"
 
 

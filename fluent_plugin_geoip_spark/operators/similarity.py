@@ -78,6 +78,8 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     def partial_topk(batches):
         qids_, qmat_ = bc.value
         for pdf in batches:
+            if not len(pdf):  # empty Arrow batch → nothing to emit
+                continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             mat = _normalize(np.array(list(pdf[vec_col]), dtype=np.float64))
             sims = qmat_ @ mat.T  # (q, batch)
@@ -121,6 +123,8 @@ def lsh_bucket_pandas(vec_col: str, planes: np.ndarray):
 
     @F.pandas_udf(T.LongType())
     def bucket(v: pd.Series) -> pd.Series:
+        if len(v) == 0:  # empty Arrow batch: np.array(list(v)) is 1-D
+            return pd.Series([], dtype=np.int64)
         mat = np.array(list(v), dtype=np.float64)
         bits = mat @ pl >= 0
         return pd.Series((bits @ weights).astype(np.int64))
@@ -164,6 +168,8 @@ def lsh_buckets_all_tables(vec_col: str, planes_list: list[np.ndarray],
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def buckets(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
         mat = np.array(list(v), dtype=np.float64)
         bits = (mat @ stacked) >= 0
         b = bits.reshape(len(mat), n_tables, nbits) @ weights
@@ -186,6 +192,8 @@ def _table_bucket_entries(df: DataFrame, id_out: str,
 def _cos_udf():
     @F.pandas_udf(T.DoubleType())
     def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype=np.float64)
         am = _normalize(np.array(list(a), dtype=np.float64))
         bm = _normalize(np.array(list(b), dtype=np.float64))
         return pd.Series((am * bm).sum(axis=1))
@@ -255,9 +263,11 @@ def embedding_near_dupes(df: DataFrame, threshold: float = 0.95,
     Plan shape (round 4): one all-tables signature crossing, intra-bucket
     pair expansion on collected id lists (the minhash pattern — no
     vector-carrying self-join), exact cosine only on deduplicated
-    candidates. ``max_bucket`` (optional) drops-and-logs over-full buckets
-    — at web scale a degenerate bucket (e.g. an all-zeros embedding cloud)
-    would otherwise emit O(n²) pairs; None keeps exact blocking semantics
+    candidates. ``max_bucket`` (optional) drops over-full buckets, with the
+    dropped count published lazily as an observed plan metric
+    (``dropped_buckets``) — at web scale a degenerate bucket (e.g. an
+    all-zeros embedding cloud) would otherwise emit O(n²) pairs; None keeps
+    exact blocking semantics
     (what the oracle-gated query uses). Pass ``dim`` to skip the fallback
     one-row probe job that otherwise infers the vector length."""
     if dim is None:
@@ -272,11 +282,17 @@ def embedding_near_dupes(df: DataFrame, threshold: float = 0.95,
                .withColumn("bucket_size", F.size("ids"))
                .filter(F.col("bucket_size") > 1))
     if max_bucket is not None:
-        grouped = grouped.persist()
-        n_dropped = grouped.filter(F.col("bucket_size") > max_bucket).count()
-        if n_dropped:
-            log.warning("embedding_near_dupes: dropping %d over-full "
-                        "buckets (> %d ids)", n_dropped, max_bucket)
+        # lazy skew-cap accounting: the dropped-bucket count rides the plan
+        # as an observed metric (visible to QueryExecutionListeners / via
+        # the returned Observation of callers that attach one) instead of a
+        # plan-build-time persist+count job that leaked cached blocks
+        # (round-4 ADVICE). No eager job runs here.
+        import uuid
+        from pyspark.sql import Observation
+        obs = Observation(f"near_dup_buckets_{uuid.uuid4().hex[:8]}")
+        grouped = grouped.observe(
+            obs, F.sum(F.when(F.col("bucket_size") > max_bucket, 1)
+                       .otherwise(0)).alias("dropped_buckets"))
         grouped = grouped.filter(F.col("bucket_size") <= max_bucket)
     pairs = (grouped
              .select(F.explode(F.expr(
@@ -312,6 +328,11 @@ def train_ivf_centroids(df: DataFrame, n_cells: int = 16,
     the parity hook. At corpus scale train on a sample exactly like this —
     IVF coarse quantizers are always trained on a subset."""
     rows = (df.orderBy(id_col).limit(sample_limit).select(vec_col).collect())
+    if len(rows) < n_cells:
+        raise ValueError(
+            f"train_ivf_centroids: sample has {len(rows)} vectors but "
+            f"n_cells={n_cells}; need at least n_cells distinct seed rows — "
+            f"lower n_cells or raise sample_limit")
     X = _normalize(np.array([r[0] for r in rows], dtype=np.float64))
     rng = np.random.default_rng(seed)
     C = X[rng.choice(len(X), size=n_cells, replace=False)].copy()
@@ -332,6 +353,8 @@ def _ivf_cell_udf(centroids: np.ndarray):
 
     @F.pandas_udf(T.IntegerType())
     def cell(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=np.int32)
         mat = np.array(list(v), dtype=np.float64)
         return pd.Series(np.argmax(mat @ Ct, axis=1).astype(np.int32))
 
@@ -345,6 +368,8 @@ def _ivf_probe_udf(centroids: np.ndarray, nprobe: int):
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def probe(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
         mat = np.array(list(v), dtype=np.float64)
         order = np.argsort(-(mat @ Ct), axis=1, kind="stable")[:, :nprobe]
         return pd.Series(list(order.astype(np.int32)))
