@@ -415,6 +415,133 @@ def simhash_dedup(df: DataFrame, id_col: str = "doc_id",
            .select("id_a", "id_b", "hamming")
            .persist())
     out.count()  # materialize (small), release the upstream caches
-    grouped.unpersist()
     sigs.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup against a persisted signature store
+# ---------------------------------------------------------------------------
+#
+# The operation a production training-data pipeline runs daily: a new batch
+# of documents is checked against an existing corpus WITHOUT re-signaturing
+# the corpus. The corpus's LSH band entries live in a partitioned parquet
+# store (band, key, id); the new batch computes its own signatures (a
+# narrow map over new docs only), probes the store with a (band, key)
+# equi-join for new-vs-corpus candidates, buckets its own entries for
+# new-vs-new candidates, and verifies candidates with exact n-gram Jaccard
+# (shingling only the docs that appear in a candidate pair).
+#
+# Scale design: the store is O(bands × corpus) narrow rows — at 10^12 docs
+# with 16 bands that is a 16-trillion-row but 3-column table, and the probe
+# is a plain equi-join on uniformly-distributed hash keys (AQE handles
+# residual skew; `max_store_bucket` hard-caps degenerate boilerplate keys).
+# On a real cluster, bucket the store table by `key` (bucketBy) so daily
+# probes co-locate without a store-side shuffle. Appending the new batch's
+# entries (update_store=True) keeps tomorrow's run incremental too.
+
+
+def signature_band_entries(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", n: int = 5,
+                           num_hashes: int = 128, bands: int = 16,
+                           rows: int = 8, seed: int = 42,
+                           use_pandas_sig: bool = True) -> DataFrame:
+    """Narrow (band, key, id) LSH band entries for every doc — the store's
+    row format and the probe's. Both sides of an incremental run MUST use
+    identical (n, num_hashes, bands, rows, seed)."""
+    assert bands * rows == num_hashes
+    if use_pandas_sig:
+        sigs = minhash_signatures_pandas(df, id_col, text_col, n, num_hashes,
+                                         seed=seed)
+    else:
+        sigs = df.select(F.col(id_col).alias("id"),
+                         minhash_signature(F.col(text_col), n, num_hashes,
+                                           seed=seed).alias("sig"))
+    sigs = sigs.persist()  # materialization barrier (see lsh_candidate_pairs)
+    return (sigs.select("id", F.explode(
+                _band_entries(F.col("sig"), bands, rows)).alias("b"))
+            .select(F.col("b.band").alias("band"), F.col("b.key").alias("key"),
+                    "id"))
+
+
+def write_signature_store(df: DataFrame, store_dir: str,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          n: int = 5, num_hashes: int = 128, bands: int = 16,
+                          rows: int = 8, seed: int = 42,
+                          use_pandas_sig: bool = True,
+                          mode: str = "overwrite") -> None:
+    """Persist a corpus's band entries as the incremental-dedup store."""
+    entries = signature_band_entries(df, id_col, text_col, n, num_hashes,
+                                     bands, rows, seed, use_pandas_sig)
+    entries.write.mode(mode).partitionBy("band").parquet(store_dir)
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    store_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    num_hashes: int = 128,
+    bands: int = 16,
+    rows: int = 8,
+    seed: int = 42,
+    threshold: float = 0.8,
+    max_bucket: int = 200,
+    max_store_bucket: int | None = None,
+    use_pandas_sig: bool = True,
+    exact_grams: bool = False,
+    update_store: bool = False,
+) -> DataFrame:
+    """Near-dup pairs touching the NEW batch only: (id_a, id_b, jaccard)
+    with id_a < id_b and at least one side in ``new_docs``. Corpus
+    signatures come from the store — the corpus is never re-signatured;
+    ``corpus_docs`` is read only to shingle-verify the few candidate docs
+    (semi-joined, so verification cost is proportional to candidates).
+
+    ``max_store_bucket`` (optional) drops store keys hotter than the cap
+    before the probe join — the skew guard for boilerplate-driven mega-
+    buckets accumulated over many increments. ``update_store=True`` appends
+    the new batch's entries afterwards, keeping the store current."""
+    spark = new_docs.sparkSession
+    new_entries = signature_band_entries(
+        new_docs, id_col, text_col, n, num_hashes, bands, rows, seed,
+        use_pandas_sig).persist()
+
+    store = spark.read.parquet(store_dir)
+    if max_store_bucket is not None:
+        hot = (store.groupBy("band", "key").count()
+               .filter(F.col("count") > max_store_bucket)
+               .select("band", "key"))
+        store = store.join(hot, ["band", "key"], "left_anti")
+
+    # new vs corpus: equi-join on uniformly-hashed (band, key)
+    cross = (new_entries.select("band", "key", F.col("id").alias("id_new"))
+             .join(store.select("band", "key", F.col("id").alias("id_old")),
+                   ["band", "key"])
+             .filter(F.col("id_new") != F.col("id_old"))
+             .select(F.least("id_new", "id_old").alias("id_a"),
+                     F.greatest("id_new", "id_old").alias("id_b")))
+
+    # new vs new: bucket the batch's own entries (standard banded path)
+    grouped = (new_entries.groupBy("band", "key")
+               .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+               .filter(F.size("ids").between(2, max_bucket)))
+    within = (grouped.select(F.explode(F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), "
+        "y -> struct(x as id_a, y as id_b))))")).alias("p"))
+        .select("p.id_a", "p.id_b"))
+
+    cands = cross.union(within).distinct().persist()
+    cands.count()  # materialize candidates, then free the probe entries
+    all_docs = (corpus_docs.select(F.col(id_col), F.col(text_col))
+                .unionByName(new_docs.select(F.col(id_col), F.col(text_col))))
+    verified = ngram_jaccard_pairs(all_docs, id_col, text_col, n, threshold,
+                                   candidates=cands, exact_grams=exact_grams)
+    if update_store:
+        (new_entries.write.mode("append").partitionBy("band")
+         .parquet(store_dir))
+    new_entries.unpersist()
+    return verified

@@ -21,6 +21,7 @@ def inject_metadata(
     time_col: str | None = None,
     time_key: str = "time",
     hostname_key: str | None = None,
+    hostname: str | None = None,
     time_format: str | None = None,
 ) -> DataFrame:
     """Append tag / time / hostname columns (each optional).
@@ -28,8 +29,10 @@ def inject_metadata(
     ``time_col`` names an existing event-time column to expose under
     ``time_key`` (fluentd carries event time alongside the record); when
     None and ``time_key`` requested via ``time_format``, processing time is
-    used. Hostname is the driver's (one logical "worker" per job here;
-    executors writing per-row hostnames would be non-deterministic noise).
+    used. ``hostname`` sets a configured literal (the deterministic form of
+    fluentd's inject helper — one logical worker identity per job); when
+    None, the driver's hostname is used (executors writing per-row
+    hostnames would be non-deterministic noise).
     """
     out = df
     if tag is not None:
@@ -40,5 +43,7 @@ def inject_metadata(
             c = F.date_format(c, time_format)
         out = out.withColumn(time_key, c)
     if hostname_key is not None:
-        out = out.withColumn(hostname_key, F.lit(socket.gethostname()))
+        out = out.withColumn(
+            hostname_key,
+            F.lit(hostname if hostname is not None else socket.gethostname()))
     return out

@@ -998,22 +998,25 @@ ORDER BY id_a, id_b
 """
 
 
-# P4 under the hard gate (round 4): metadata injection — constant tag plus
-# the event time re-exposed (formatted) under a configured key, the inject
-# helper's semantics (filter_geoip.rb:111, README.md:360-367). Hostname
-# injection stays pytest-only (environment-dependent, not oracle-able).
+# P4 under the hard gate (round 4/5): metadata injection — constant tag,
+# the event time re-exposed (formatted) under a configured key, AND a
+# configured literal hostname (round 5 — the deterministic form of the
+# inject helper's hostname; filter_geoip.rb:111, README.md:360-367). The
+# env-derived gethostname() default stays pytest-only.
 def q_inject_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.inject import inject_metadata
     df = _events(spark, sf_dir).select("event_id", "ts")
     out = inject_metadata(df, tag="geo.enriched", time_col="ts",
                           time_key="event_time",
+                          hostname_key="hostname", hostname="spark-worker-0",
                           time_format="yyyy-MM-dd HH:mm:ss")
-    return out.select("event_id", "tag", "event_time")
+    return out.select("event_id", "tag", "event_time", "hostname")
 
 
 ORACLE_INJECT = """
 SELECT event_id, 'geo.enriched' AS tag,
-       strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_time
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_time,
+       'spark-worker-0' AS hostname
 FROM events
 """
 
@@ -1209,6 +1212,53 @@ GROUP BY 1, 2
 """
 
 
+# Incremental dedup (round 5): the daily-pipeline form — corpus band
+# entries persisted once to a signature store; the new batch (here the
+# deterministic doc_id%5==0 slice) signatures ONLY itself, probes the store
+# for cross candidates, buckets itself for within-batch candidates, and
+# exact-verifies. The oracle enumerates ALL exact-Jaccard≥0.8 pairs touching
+# the new batch — equality holds for the same recall argument as
+# ORACLE_MINHASH (32×4 banding, nothing near the threshold in this corpus).
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.dedup import (
+        incremental_minhash_dedup, write_signature_store,
+    )
+    d = _documents(spark, sf_dir)
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    new = d.filter(F.col("doc_id") % 5 == 0)
+    store = tempfile.mkdtemp(prefix="geoip_sigstore_")
+    write_signature_store(corpus, store, bands=32, rows=4, num_hashes=128)
+    return (incremental_minhash_dedup(
+                new, corpus, store, bands=32, rows=4, num_hashes=128,
+                threshold=0.8, exact_grams=True, max_bucket=1_000_000)
+            .select("id_a", "id_b", "jaccard").orderBy("id_a", "id_b"))
+
+
+ORACLE_INCREMENTAL = r"""
+WITH docs AS (
+  SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         substr(t, CAST(unnest(range(1, greatest(length(t) - 4, 1) + 1)) AS INT),
+                5) AS g
+  FROM docs
+), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ic
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST(ic AS DOUBLE) / (sa.sz + sb.sz - ic) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(ic AS DOUBLE) / (sa.sz + sb.sz - ic) >= 0.8
+  AND (id_a % 5 = 0 OR id_b % 5 = 0)
+ORDER BY id_a, id_b
+"""
+
+
 QUERIES = {
     "geoip_enrich_country_counts": q_geoip_enrich_country_counts,
     "geoip_enrich_values": q_geoip_enrich_values,
@@ -1238,6 +1288,7 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_incremental": q_dedup_incremental,
     "embedding_near_dups": q_embedding_near_dups,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -1278,6 +1329,7 @@ ORACLES = {
     "dedup_simhash": ORACLE_SIMHASH,
     "dedup_minhash_lsh": ORACLE_MINHASH,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "dedup_incremental": ORACLE_INCREMENTAL,
     "embedding_near_dups": _near_dup_oracle_sql(),
     "multimodal_audio_stats": ORACLE_MULTIMODAL_AUDIO,
     "multimodal_video_frames": ORACLE_MULTIMODAL_VIDEO,

@@ -456,3 +456,69 @@ def test_lsh_bucket_pandas_matches_jvm(spark):
         lsh_bucket_pandas("embedding", planes).alias("arrow"),
         lsh_signature_col("embedding", planes).alias("jvm"))
     assert both.filter(F.col("arrow") != F.col("jvm")).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup against a persisted signature store (round 5)
+# ---------------------------------------------------------------------------
+
+def test_incremental_dedup_against_store(spark, tmp_path):
+    """Daily-pipeline shape: corpus signatures persisted once; a new batch
+    finds (a) its dups against the corpus via the store probe, (b) dups
+    within itself, and (c) never re-emits corpus-internal pairs."""
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    corpus = spark.createDataFrame(
+        [(1, base), (2, base + "one edit here"), (3, "completely different "
+          "text about spark shuffles and partitions " * 4)],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(10, base),                        # near-dup of corpus 1 and 2
+         (11, "totally novel content with nothing shared at all " * 5),
+         (12, "totally novel content with nothing shared at all " * 5)],
+        "doc_id long, text string")        # 11/12: within-batch exact dup
+    store = str(tmp_path / "store")
+    dedup.write_signature_store(corpus, store, bands=32, rows=4)
+    out = dedup.incremental_minhash_dedup(
+        new, corpus, store, bands=32, rows=4, threshold=0.6,
+        exact_grams=True)
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert (1, 10) in pairs and (2, 10) in pairs      # cross store hits
+    assert (11, 12) in pairs                          # within-batch
+    assert (1, 2) not in pairs                        # corpus-internal: never
+    assert all(a >= 10 or b >= 10 for a, b in pairs)
+
+
+def test_incremental_store_update_and_skew_cap(spark, tmp_path):
+    """update_store=True appends exactly bands×|new| entries so tomorrow's
+    batch sees today's docs; max_store_bucket drops hot store keys from the
+    probe join."""
+    corpus = spark.createDataFrame(
+        [(i, f"doc number {i} with shared boilerplate " * 4)
+         for i in range(1, 5)], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(10, "doc number 1 with shared boilerplate " * 4)],
+        "doc_id long, text string")
+    store = str(tmp_path / "store")
+    dedup.write_signature_store(corpus, store, bands=16, rows=8)
+    n0 = spark.read.parquet(store).count()
+    assert n0 == 16 * 4
+    out = dedup.incremental_minhash_dedup(
+        new, corpus, store, bands=16, rows=8, threshold=0.8,
+        exact_grams=True, update_store=True)
+    assert {(r.id_a, r.id_b) for r in out.collect()} == {(1, 10)}
+    assert spark.read.parquet(store).count() == n0 + 16  # appended new batch
+    # a later batch now matches doc 10 through the store alone
+    corpus2 = corpus.unionByName(new)
+    new2 = spark.createDataFrame(
+        [(20, "doc number 1 with shared boilerplate " * 4)],
+        "doc_id long, text string")
+    out2 = dedup.incremental_minhash_dedup(
+        new2, corpus2, store, bands=16, rows=8, threshold=0.8,
+        exact_grams=True)
+    p2 = {(r.id_a, r.id_b) for r in out2.collect()}
+    assert (10, 20) in p2 and (1, 20) in p2
+    # skew cap: with every store key capped out, no cross candidates survive
+    out3 = dedup.incremental_minhash_dedup(
+        new2, corpus2, store, bands=16, rows=8, threshold=0.8,
+        exact_grams=True, max_store_bucket=0)
+    assert out3.count() == 0
