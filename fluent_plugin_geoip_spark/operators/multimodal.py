@@ -149,9 +149,17 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
     return b"RIFF" + len(riff_body).to_bytes(4, "little") + riff_body
 
 
+def decode_png(payload: bytes) -> np.ndarray:
+    """Real PNG decode (round 5): from-scratch chunk/zlib/filter
+    reconstruction of the public spec — see ``sources.png``."""
+    from ..sources.png import decode_png as _dec
+    return _dec(payload)
+
+
 DECODERS: dict[str, Callable[[bytes], np.ndarray]] = {
     "image/ppm": decode_ppm,
     "image/x-portable-pixmap": decode_ppm,
+    "image/png": decode_png,
 }
 
 AUDIO_DECODERS: dict[str, Callable[[bytes], np.ndarray]] = {
@@ -263,6 +271,35 @@ def generate_ppm_images(spark, n: int, width: int = 8,
                 rows.append(encode_ppm(px.reshape(height, width, 3)))
             yield pd.DataFrame({
                 "media_id": pdf["id"], "kind": "image", "mime": "image/ppm",
+                "width": np.int32(width), "height": np.int32(height),
+                "duration_ms": pd.array([None] * len(pdf), dtype="Int64"),
+                "payload": rows})
+
+    return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def generate_png_images(spark, n: int, width: int = 8,
+                        height: int = 8) -> DataFrame:
+    """n real PNG images with the SAME pixel formula as
+    ``generate_ppm_images`` — so the DuckDB oracle for the PNG decode path
+    is the identical SQL, while the Spark side genuinely reconstructs
+    through zlib + all five PNG filters (the encoder cycles filter types
+    per row)."""
+    from ..sources.png import encode_png
+    npix = width * height
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        i = np.arange(npix, dtype=np.int64)
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                px = np.empty((npix, 3), dtype=np.uint8)
+                px[:, 0] = (mid * 31 + i * 7) % 256
+                px[:, 1] = (mid * 17 + i * 11) % 256
+                px[:, 2] = (mid * 13 + i * 5) % 256
+                rows.append(encode_png(px.reshape(height, width, 3)))
+            yield pd.DataFrame({
+                "media_id": pdf["id"], "kind": "image", "mime": "image/png",
                 "width": np.int32(width), "height": np.int32(height),
                 "duration_ms": pd.array([None] * len(pdf), dtype="Int64"),
                 "payload": rows})

@@ -1167,6 +1167,24 @@ FROM agg a JOIN bits b USING (media_id)
 """
 
 
+def q_multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode certified end to end (round 5): the
+    same formula pixels as multimodal_features, but carried as genuine PNG
+    bytes — zlib DEFLATE + all five per-scanline filters (the generator
+    cycles filter types per row) reconstructed by the from-scratch
+    ``sources/png.py`` decoder. The oracle is the identical pixel-formula
+    SQL, so any decode error (CRC, inflate, filter math, channel order)
+    breaks the hash."""
+    from ..operators.multimodal import generate_png_images, image_stats
+    media = generate_png_images(spark, 300)
+    return image_stats(media)
+
+
+# identical values to ORACLE_MULTIMODAL by construction: same formula, same
+# 300×8×8 shape — what differs is the Spark-side byte path (PNG vs PPM)
+ORACLE_MULTIMODAL_PNG = ORACLE_MULTIMODAL
+
+
 def q_multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode certified end to end: formula-sample PCM WAV →
     pure-NumPy RIFF parse → exact integer stats; the oracle restates the
@@ -1293,6 +1311,7 @@ QUERIES = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "multimodal_features": q_multimodal_features,
+    "multimodal_png_stats": q_multimodal_png_stats,
     "multimodal_audio_stats": q_multimodal_audio_stats,
     "multimodal_video_frames": q_multimodal_video_frames,
 }
@@ -1324,6 +1343,7 @@ ORACLES = {
     "sessionize_events": ORACLE_SESSIONIZE,
     "topk_per_group": ORACLE_TOPK,
     "multimodal_features": ORACLE_MULTIMODAL,
+    "multimodal_png_stats": ORACLE_MULTIMODAL_PNG,
     "ann_lsh_topk": _ann_oracle_sql(),
     "ann_ivf_topk": _ivf_oracle_sql(),
     "dedup_simhash": ORACLE_SIMHASH,
