@@ -161,3 +161,45 @@ def test_quality_scores_is_native_and_pruned(spark, tmp_path_factory):
     assert "Python" not in plan and "Arrow" not in plan
     scan = plan[plan.index("ReadSchema"):].splitlines()[0]
     assert "lang" not in scan and "extra" not in scan, scan
+
+
+def test_incremental_dedup_never_resignatures_corpus(spark, tmp_path_factory):
+    """Round-5 plan shape for the daily incremental dedup: corpus
+    signatures come from a parquet SCAN of the store (never recomputed),
+    and the only signature kernel (mapInPandas) in the candidate plan runs
+    over the new batch. The store probe is a plain equi-join on the narrow
+    (band, key) columns."""
+    from fluent_plugin_geoip_spark.operators.dedup import (
+        incremental_minhash_dedup, write_signature_store,
+    )
+    corpus = spark.createDataFrame(
+        [(i, f"corpus document number {i} text " * 3) for i in range(20)],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(100, "corpus document number 3 text " * 3)],
+        "doc_id long, text string")
+    store = str(tmp_path_factory.mktemp("incr") / "store")
+    write_signature_store(corpus, store, bands=16, rows=8)
+
+    # plan-pin the candidate stage (the operator's verify stage materializes
+    # eagerly, so rebuild the probe plan exactly as the operator does)
+    from fluent_plugin_geoip_spark.operators.dedup import (
+        signature_band_entries,
+    )
+    new_entries = signature_band_entries(new, bands=16, rows=8)
+    probe = (new_entries.select("band", "key", F.col("id").alias("id_new"))
+             .join(spark.read.parquet(store)
+                   .select("band", "key", F.col("id").alias("id_old")),
+                   ["band", "key"]))
+    plan = explain(probe)
+    tree = plan.split("\n\n")[0]
+    # exactly one Python stage: the new batch's signature kernel
+    assert (tree.count("MapInPandas") + tree.count("ArrowEvalPython")) == 1, tree
+    # corpus side is a parquet scan of the store, pruned to (band, key, id)
+    assert "Scan parquet" in plan, plan
+    scan_schema = plan[plan.index("ReadSchema"):].splitlines()[0]
+    assert "text" not in scan_schema and "id" in scan_schema, scan_schema
+    # end-to-end result still correct through the real operator
+    out = incremental_minhash_dedup(new, corpus, store, bands=16, rows=8,
+                                    threshold=0.8, exact_grams=True)
+    assert {(r.id_a, r.id_b) for r in out.collect()} == {(3, 100)}
