@@ -27,6 +27,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..operators.route import _fs_for, _fs_read_text, _fs_write_text
 from ..plans.pipeline import FLAGSHIP_RECORDS, GeoipPipeline
 
 PAGES_DDL = ("url string, warc_ts timestamp, html binary, text string, "
@@ -76,8 +77,7 @@ def make_batch_handler(out_dir: str, salt_buckets: int = 8):
     checkpoint commit) replaces exactly its own partitions instead of
     appending a duplicate copy. Exposed standalone so replay can be tested
     by invoking it twice with the same batch id."""
-    lineage_dir = os.path.join(out_dir, "_lineage", "batches")
-    os.makedirs(lineage_dir, exist_ok=True)
+    lineage_dir = f"{out_dir}/_lineage/batches"
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -88,13 +88,16 @@ def make_batch_handler(out_dir: str, salt_buckets: int = 8):
                   .repartition(n, F.col("route_country"), salt))
         (routed.write.mode("overwrite")
             .partitionBy("batch_id", "route_country")
-            .parquet(os.path.join(out_dir, "data")))
+            .parquet(f"{out_dir}/data"))
         stats = (batch_df.groupBy("route_country")
                  .agg(F.count("*").alias("rows")).collect())
-        with open(os.path.join(lineage_dir, f"batch-{batch_id}.json"), "w") as f:
-            json.dump({"batch_id": batch_id,
-                       "sinks": {r["route_country"]: r["rows"] for r in stats}},
-                      f, sort_keys=True)
+        # Hadoop-FS write (round 5): works when out_dir is s3a://hdfs://,
+        # same portability contract as the batch manifests (route.py)
+        _fs_write_text(
+            f"{lineage_dir}/batch-{batch_id}.json",
+            json.dumps({"batch_id": batch_id,
+                        "sinks": {r["route_country"]: r["rows"]
+                                  for r in stats}}, sort_keys=True))
 
     return handle_batch
 
@@ -135,14 +138,24 @@ def start_windowed_counts_stream(
 
 
 def stream_sink_counts(out_dir: str) -> dict[str, int]:
-    """Total routed rows per sink according to the per-batch lineage files."""
-    lineage_dir = os.path.join(out_dir, "_lineage", "batches")
+    """Total routed rows per sink according to the per-batch lineage files
+    (read through the Hadoop FS API — any scheme Spark can reach)."""
+    from pyspark.sql import SparkSession
     totals: dict[str, int] = {}
-    if not os.path.isdir(lineage_dir):
-        return totals
-    for name in sorted(os.listdir(lineage_dir)):
-        with open(os.path.join(lineage_dir, name)) as f:
-            rec = json.load(f)
+    lineage_dir = f"{out_dir}/_lineage/batches"
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        if not os.path.isdir(lineage_dir):
+            return totals
+        names = [os.path.join(lineage_dir, n)
+                 for n in sorted(os.listdir(lineage_dir))]
+    else:
+        fs, p, _ = _fs_for(spark, lineage_dir)
+        if not fs.exists(p):
+            return totals
+        names = sorted(st.getPath().toString() for st in fs.listStatus(p))
+    for name in names:
+        rec = json.loads(_fs_read_text(name))
         for sink, n in rec["sinks"].items():
             totals[sink] = totals.get(sink, 0) + n
     return totals
