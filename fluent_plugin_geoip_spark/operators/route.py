@@ -93,7 +93,8 @@ def _fs_write_text(path_str: str, text: str) -> None:
         stream.close()
     if fs.exists(p):
         fs.delete(p, False)
-    fs.rename(tmp, p)
+    if not fs.rename(tmp, p):  # Hadoop FS signals failure by boolean
+        raise IOError(f"rename {path_str}.tmp -> {path_str} failed")
 
 
 def list_partition_values(spark, out_dir: str, route_col: str) -> list[str]:
