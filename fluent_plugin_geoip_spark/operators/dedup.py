@@ -451,13 +451,19 @@ def signature_band_entries(df: DataFrame, id_col: str = "doc_id",
     identical (n, num_hashes, bands, rows, seed)."""
     assert bands * rows == num_hashes
     if use_pandas_sig:
+        # mapInPandas is itself a CollapseProject barrier — the band-key
+        # projection cannot inline the signature kernel, so no persist is
+        # needed (and none leaks)
         sigs = minhash_signatures_pandas(df, id_col, text_col, n, num_hashes,
                                          seed=seed)
     else:
+        # the HOF expression tree DOES need the barrier (see
+        # lsh_candidate_pairs); this persist stays alive as long as the
+        # returned plan does — callers on the HOF path should unpersist
+        # via spark.catalog.clearCache() when done
         sigs = df.select(F.col(id_col).alias("id"),
                          minhash_signature(F.col(text_col), n, num_hashes,
-                                           seed=seed).alias("sig"))
-    sigs = sigs.persist()  # materialization barrier (see lsh_candidate_pairs)
+                                           seed=seed).alias("sig")).persist()
     return (sigs.select("id", F.explode(
                 _band_entries(F.col("sig"), bands, rows)).alias("b"))
             .select(F.col("b.band").alias("band"), F.col("b.key").alias("key"),
