@@ -10,13 +10,17 @@ the benchmarks in BASELINE.md, not guessed):
 - Arrow batch 64k (default 10k pays the JVM↔Python crossing 6× as often
   for the searchsorted kernel at identical memory footprint)
 - dynamic partition overwrite (idempotent per-partition routing writes)
-- parquet codec zstd (measured A/B at 16 cores / 5M rows on tmpfs:
-  snappy 11.96 s / 706 MB, zstd 12.07 s / 444 MB, lz4 11.29 s / 687 MB,
-  uncompressed 15.37 s / 2546 MB — zstd matches snappy's wall-clock while
-  writing 37% fewer bytes, and the uncompressed row shows the write path
-  IS bandwidth-sensitive; at cluster scale fewer sink bytes is strictly
-  better for storage, network and the shared-bus contention the scaling
-  sweeps surfaced)
+- parquet codec snappy (default). zstd writes 37% fewer sink bytes at
+  wall-clock parity (measured A/B at 16 cores / 5M rows on tmpfs: snappy
+  11.96 s / 706 MB, zstd 12.07 s / 444 MB, uncompressed 15.37 s / 2546 MB)
+  and is worth opting into per job — BUT across rounds 4-5 three zstd
+  scaling-sweep children died with Python-worker "Connection reset" during
+  the enrich Arrow read (3/14 zstd sweep children vs 0/13 snappy; a
+  dedicated 12-child repro loop was clean on both, so the crash is rare
+  and window-dependent, but codec-correlated). Per BASELINE.md's decision
+  rule the session DEFAULT stays on the codec with zero observed crashes;
+  pass ``codec="zstd"`` (or spark.sql.parquet.compression.codec) to opt
+  in where worker stability has been verified.
 """
 
 from __future__ import annotations
@@ -26,6 +30,7 @@ from pyspark.sql import SparkSession
 
 def build_session(master: str | None = None, cores: int | None = None,
                   app_name: str = "fluent_plugin_geoip_spark",
+                  codec: str = "snappy",
                   **extra: str) -> SparkSession:
     b = SparkSession.builder.appName(app_name)
     if master:
@@ -38,7 +43,7 @@ def build_session(master: str | None = None, cores: int | None = None,
          .config("spark.sql.execution.arrow.pyspark.enabled", "true")
          .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
          .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
-         .config("spark.sql.parquet.compression.codec", "zstd")
+         .config("spark.sql.parquet.compression.codec", codec)
          .config("spark.sql.session.timeZone", "UTC"))
     for k, v in extra.items():
         b = b.config(k, v)
