@@ -380,6 +380,12 @@ def simhash_dedup(df: DataFrame, id_col: str = "doc_id",
     sigs = df.select(F.col(id_col).alias("id"),
                      simhash(F.col(text_col), portable=portable).alias("sig")
                      ).persist()
+    # fill the cache with ONE narrow pass before fan-out: the signature plan
+    # feeds three consumers (band explode + both verify joins) inside one
+    # action, and relying on lazy cache population races them into
+    # recomputing the 64-fold simhash tree (measured 8× slower without this
+    # barrier — round 5)
+    sigs.count()
     entries = F.array(*[
         F.struct(F.lit(bi).alias("band"),
                  F.shiftrightunsigned(F.col("sig"), bi * band_bits)

@@ -159,3 +159,77 @@ def stream_sink_counts(out_dir: str) -> dict[str, int]:
         for sink, n in rec["sinks"].items():
             totals[sink] = totals.get(sink, 0) + n
     return totals
+
+
+def start_incremental_dedup_stream(
+    spark: SparkSession,
+    source_dir: str,
+    store_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    corpus_docs_dir: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    bands: int = 16,
+    rows: int = 8,
+    max_files_per_trigger: int = 4,
+    docs_schema: str = "doc_id long, text string",
+):
+    """Streaming incremental dedup — the continuous form of the daily batch
+    operator (``operators.dedup.incremental_minhash_dedup``): each
+    micro-batch of new documents is signatured, probed against the
+    persisted signature store (plus the docs dir for verification text),
+    its near-dup pairs appended under ``pairs_dir/batch_id=<n>/`` with
+    dynamic partition overwrite (replay-idempotent like the routing sink),
+    and its band entries appended to the store so the NEXT micro-batch —
+    and tomorrow's batch job — sees it.
+
+    ``corpus_docs_dir`` holds the already-ingested corpus text for
+    candidate verification; new batches are appended there too, so it
+    doubles as the raw-docs table. At scale both the store and the docs
+    dir are ordinary partitioned tables — there is no unbounded streaming
+    state; all state lives in storage, which is what makes the operator
+    resumable from checkpoint alone.
+    """
+    from ..operators.dedup import incremental_minhash_dedup
+
+    docs_dir = corpus_docs_dir or f"{store_dir}_docs"
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        batch_df = batch_df.select(id_col, text_col).persist()
+        if batch_df.count() == 0:
+            batch_df.unpersist()
+            return
+        fs, store_path, _ = _fs_for(sp, store_dir)
+        have_store = fs.exists(store_path)
+        if have_store:
+            corpus = sp.read.schema(docs_schema).parquet(docs_dir)
+            pairs = incremental_minhash_dedup(
+                batch_df, corpus, store_dir, id_col=id_col,
+                text_col=text_col, threshold=threshold, bands=bands,
+                rows=rows, exact_grams=True, update_store=True)
+        else:
+            from ..operators.dedup import (
+                ngram_jaccard_pairs, signature_band_entries,
+            )
+            pairs = ngram_jaccard_pairs(batch_df, id_col, text_col,
+                                        threshold=threshold,
+                                        exact_grams=True)
+            (signature_band_entries(batch_df, id_col, text_col,
+                                    bands=bands, rows=rows)
+             .write.mode("overwrite").partitionBy("band").parquet(store_dir))
+        (pairs.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite").partitionBy("batch_id")
+         .parquet(pairs_dir))
+        batch_df.write.mode("append").parquet(docs_dir)
+        batch_df.unpersist()
+
+    stream = (spark.readStream.schema(docs_schema)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .parquet(source_dir))
+    return (stream.writeStream.foreachBatch(handle_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append").start())

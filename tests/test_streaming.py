@@ -235,3 +235,46 @@ def test_foreach_batch_replay_is_idempotent(spark, tmp_path):
     assert spark.read.parquet(f"{out}/data").count() == first == 500
     handler(enriched, 1)  # a genuinely new batch appends
     assert spark.read.parquet(f"{out}/data").count() == 1000
+
+
+def test_incremental_dedup_stream(spark, tmp_path):
+    """Streaming incremental dedup (round 5): micro-batches probe + update
+    the persisted signature store; pairs appear across batch boundaries
+    (doc in batch 2 matches doc from batch 1 via the store, not via
+    streaming state); resume processes only new files."""
+    from fluent_plugin_geoip_spark.streaming.stream import (
+        start_incremental_dedup_stream,
+    )
+    src = tmp_path / "src"
+    store = str(tmp_path / "store")
+    pairs_dir = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+    docs = str(tmp_path / "docs")
+    base = "the quick brown fox jumps over the lazy dog %d " 
+
+    def write_chunk(rows):
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .coalesce(1).write.mode("append").parquet(str(src))
+
+    write_chunk([(1, base % 1 * 5), (2, "first unique text " * 8)])
+    q = start_incremental_dedup_stream(
+        spark, str(src), store, pairs_dir, ckpt, corpus_docs_dir=docs,
+        threshold=0.8, max_files_per_trigger=1)
+    q.processAllAvailable()
+    q.stop()
+    assert spark.read.parquet(store).count() == 16 * 2   # both docs stored
+
+    # batch 2: near-dup of doc 1 (cross-batch, via the store) + self-pair
+    write_chunk([(10, base % 1 * 5), (11, "second unique " * 9),
+                 (12, "second unique " * 9)])
+    q = start_incremental_dedup_stream(
+        spark, str(src), store, pairs_dir, ckpt, corpus_docs_dir=docs,
+        threshold=0.8, max_files_per_trigger=1)
+    q.processAllAvailable()
+    q.stop()
+    got = {(r.id_a, r.id_b) for r in spark.read.parquet(pairs_dir).collect()}
+    assert (1, 10) in got and (11, 12) in got
+    assert not any(a < 10 and b < 10 for a, b in got if (a, b) != (1, 10))
+    # store now carries every doc; docs dir is the full corpus
+    assert spark.read.parquet(store).count() == 16 * 5
+    assert spark.read.parquet(docs).count() == 5
