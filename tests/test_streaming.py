@@ -278,3 +278,26 @@ def test_incremental_dedup_stream(spark, tmp_path):
     # store now carries every doc; docs dir is the full corpus
     assert spark.read.parquet(store).count() == 16 * 5
     assert spark.read.parquet(docs).count() == 5
+
+
+def test_stream_lineage_through_scheme_qualified_out_dir(spark, tmp_path):
+    """Per-batch lineage files must survive a scheme-qualified out_dir
+    (file:// here proves the Hadoop-FS code path — plain open()/listdir
+    would fail on the prefix), matching the batch manifests' portability
+    contract."""
+    from fluent_plugin_geoip_spark.plans.pipeline import GeoipPipeline
+    from fluent_plugin_geoip_spark.streaming.stream import (
+        make_batch_handler, stream_sink_counts,
+    )
+    out = "file://" + str(tmp_path / "out")
+    pages = generate_pages(spark, 300, seed=7)
+    enriched = GeoipPipeline(spark).enrich(pages)
+    handler = make_batch_handler(out)
+    handler(enriched, 0)
+    handler(enriched, 1)
+    totals = stream_sink_counts(out)
+    assert sum(totals.values()) == 600
+    assert spark.read.parquet(f"{out}/data").count() == 600
+    # replay of batch 1 is idempotent (dynamic overwrite by batch_id)
+    handler(enriched, 1)
+    assert spark.read.parquet(f"{out}/data").count() == 600
