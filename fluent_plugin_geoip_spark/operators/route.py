@@ -73,19 +73,28 @@ def _fs_read_text(path_str: str) -> str | None:
         stream.close()
 
 
+def _tmp_name(path_str: str) -> str:
+    """Dot-prefixed tmp sibling: Hadoop input listings treat dotted names as
+    hidden, so a tmp file orphaned by a crash mid-write can never be picked
+    up by a directory scan (round-5 ADVICE: a bare ``<name>.json.tmp``
+    could double-count a batch or break a JSON parse in listers)."""
+    d, base = path_str.rsplit("/", 1)
+    return f"{d}/.{base}.tmp"
+
+
 def _fs_write_text(path_str: str, text: str) -> None:
     """Atomic-as-the-FS-allows write via tmp + rename, through Hadoop FS
     (same portability contract as :func:`_fs_read_text`)."""
     spark = _active_spark()
     if spark is None:
         os.makedirs(os.path.dirname(path_str), exist_ok=True)
-        tmp = path_str + ".tmp"
+        tmp = _tmp_name(path_str)
         with open(tmp, "w") as f:
             f.write(text)
         os.replace(tmp, path_str)
         return
     fs, p, jvm = _fs_for(spark, path_str)
-    tmp = jvm.org.apache.hadoop.fs.Path(path_str + ".tmp")
+    tmp = jvm.org.apache.hadoop.fs.Path(_tmp_name(path_str))
     stream = fs.create(tmp, True)
     try:
         stream.write(bytearray(text.encode("utf-8")))
@@ -94,7 +103,7 @@ def _fs_write_text(path_str: str, text: str) -> None:
     if fs.exists(p):
         fs.delete(p, False)
     if not fs.rename(tmp, p):  # Hadoop FS signals failure by boolean
-        raise IOError(f"rename {path_str}.tmp -> {path_str} failed")
+        raise IOError(f"rename {_tmp_name(path_str)} -> {path_str} failed")
 
 
 def list_partition_values(spark, out_dir: str, route_col: str) -> list[str]:

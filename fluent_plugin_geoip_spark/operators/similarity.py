@@ -263,11 +263,12 @@ def embedding_near_dupes(df: DataFrame, threshold: float = 0.95,
     Plan shape (round 4): one all-tables signature crossing, intra-bucket
     pair expansion on collected id lists (the minhash pattern — no
     vector-carrying self-join), exact cosine only on deduplicated
-    candidates. ``max_bucket`` (optional) drops over-full buckets, with the
-    dropped count published lazily as an observed plan metric
-    (``dropped_buckets``) — at web scale a degenerate bucket (e.g. an
-    all-zeros embedding cloud) would otherwise emit O(n²) pairs; None keeps
-    exact blocking semantics
+    candidates. ``max_bucket`` (optional) drops over-full buckets — logged,
+    and the count is carried on the returned DataFrame as
+    ``dropped_buckets`` — at web scale a degenerate bucket (e.g. an
+    all-zeros embedding cloud) would otherwise emit O(n²) pairs; the capped
+    form materializes its result eagerly; None keeps exact blocking
+    semantics and stays lazy
     (what the oracle-gated query uses). Pass ``dim`` to skip the fallback
     one-row probe job that otherwise infers the vector length."""
     if dim is None:
@@ -281,19 +282,26 @@ def embedding_near_dupes(df: DataFrame, threshold: float = 0.95,
                .agg(F.sort_array(F.collect_list("id")).alias("ids"))
                .withColumn("bucket_size", F.size("ids"))
                .filter(F.col("bucket_size") > 1))
+    dropped = None
     if max_bucket is not None:
-        # lazy skew-cap accounting: the dropped-bucket count rides the plan
-        # as an observed metric (visible to QueryExecutionListeners / via
-        # the returned Observation of callers that attach one) instead of a
-        # plan-build-time persist+count job that leaked cached blocks
-        # (round-4 ADVICE). No eager job runs here.
-        import uuid
-        from pyspark.sql import Observation
-        obs = Observation(f"near_dup_buckets_{uuid.uuid4().hex[:8]}")
-        grouped = grouped.observe(
-            obs, F.sum(F.when(F.col("bucket_size") > max_bucket, 1)
-                       .otherwise(0)).alias("dropped_buckets"))
-        grouped = grouped.filter(F.col("bucket_size") <= max_bucket)
+        # Eager persist → count → (post-materialization) unpersist — the
+        # lsh_candidate_pairs pattern. Round 5 tried a lazy Observation
+        # here, but AQE's empty-relation propagation discards the
+        # CollectMetrics result exactly when EVERY bucket is dropped (the
+        # replanned subtree becomes a LocalTableScan before metrics
+        # publish; measured: AQE on → empty metric row, AQE off →
+        # dropped_buckets=1111 on the same data), i.e. the metric vanished
+        # in precisely the case it must report. The eager count on the
+        # cached buckets is one cheap job and is always correct.
+        cached_buckets = grouped.persist()
+        dropped = cached_buckets.filter(
+            F.col("bucket_size") > max_bucket).count()
+        if dropped:
+            log.warning(
+                "embedding_near_dupes: dropping %d over-full buckets "
+                "(> %d ids) — pairs inside them are NOT emitted",
+                dropped, max_bucket)
+        grouped = cached_buckets.filter(F.col("bucket_size") <= max_bucket)
     pairs = (grouped
              .select(F.explode(F.expr(
                  "flatten(transform(ids, (x, i) -> "
@@ -306,9 +314,18 @@ def embedding_near_dupes(df: DataFrame, threshold: float = 0.95,
                               F.col("vec").alias("vec_a")), "id_a")
             .join(base.select(F.col("id").alias("id_b"),
                               F.col("vec").alias("vec_b")), "id_b"))
-    return (cand.withColumn("cosine", _cos_udf()(F.col("vec_a"), F.col("vec_b")))
-            .filter(F.col("cosine") >= threshold)
-            .select("id_a", "id_b", "cosine"))
+    result = (cand.withColumn("cosine",
+                              _cos_udf()(F.col("vec_a"), F.col("vec_b")))
+              .filter(F.col("cosine") >= threshold)
+              .select("id_a", "id_b", "cosine"))
+    if max_bucket is not None:
+        # the capped form materializes eagerly (like the other dedup ops)
+        # so the bucket cache can be released before returning
+        result = result.persist()
+        result.count()
+        cached_buckets.unpersist()
+    result.dropped_buckets = dropped  # None unless max_bucket was set
+    return result
 
 
 # ---------------------------------------------------------------------------

@@ -1241,20 +1241,26 @@ GROUP BY 1, 2
 # restates (the corpus is signatured once, ever) — build it once per
 # (session, sf_dir) and let repeated invocations measure what the daily
 # pipeline actually runs: the new-batch probe
-_INCR_STORES: dict[str, str] = {}
+_INCR_STORES: dict[str, tuple[str, str]] = {}
 
 
-def _incremental_store(spark: SparkSession, sf_dir: str, corpus) -> str:
+def _incremental_store(spark: SparkSession, sf_dir: str,
+                       corpus) -> tuple[str, str]:
+    """(store_dir, table_name) of the session-persistent KEY-BUCKETED
+    signature store (round 6: the daily probe runs through the bucketed
+    table — store side joins with no exchange — exactly the layout a
+    production store would use)."""
     import tempfile
 
     from ..operators.dedup import write_signature_store
-    store = _INCR_STORES.get(sf_dir)
-    if store is None or not os.path.isdir(store):
+    cached = _INCR_STORES.get(sf_dir)
+    if (cached is None or not os.path.isdir(cached[0])
+            or not spark.catalog.tableExists(cached[1])):
         store = tempfile.mkdtemp(prefix="geoip_sigstore_")
-        write_signature_store(corpus, store, bands=32, rows=4,
-                              num_hashes=128)
-        _INCR_STORES[sf_dir] = store
-    return store
+        table = write_signature_store(corpus, store, bands=32, rows=4,
+                                      num_hashes=128, bucket_by=16)
+        _INCR_STORES[sf_dir] = cached = (store, table)
+    return cached
 
 
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1262,10 +1268,11 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _documents(spark, sf_dir)
     corpus = d.filter(F.col("doc_id") % 5 != 0)
     new = d.filter(F.col("doc_id") % 5 == 0)
-    store = _incremental_store(spark, sf_dir, corpus)
+    store, table = _incremental_store(spark, sf_dir, corpus)
     return (incremental_minhash_dedup(
                 new, corpus, store, bands=32, rows=4, num_hashes=128,
-                threshold=0.8, exact_grams=True, max_bucket=1_000_000)
+                threshold=0.8, exact_grams=True, max_bucket=1_000_000,
+                store_table=table)
             .select("id_a", "id_b", "jaccard").orderBy("id_a", "id_b"))
 
 

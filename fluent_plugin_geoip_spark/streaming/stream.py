@@ -137,6 +137,14 @@ def start_windowed_counts_stream(
             .start())
 
 
+def _is_batch_lineage(name: str) -> bool:
+    """Only committed per-batch lineage files count — a crash between tmp
+    create and rename must never double-count a batch or feed partial JSON
+    to the parser (round-5 ADVICE; tmp files are additionally dot-hidden,
+    this filter is belt-and-braces)."""
+    return name.startswith("batch-") and name.endswith(".json")
+
+
 def stream_sink_counts(out_dir: str) -> dict[str, int]:
     """Total routed rows per sink according to the per-batch lineage files
     (read through the Hadoop FS API — any scheme Spark can reach)."""
@@ -148,12 +156,14 @@ def stream_sink_counts(out_dir: str) -> dict[str, int]:
         if not os.path.isdir(lineage_dir):
             return totals
         names = [os.path.join(lineage_dir, n)
-                 for n in sorted(os.listdir(lineage_dir))]
+                 for n in sorted(os.listdir(lineage_dir))
+                 if _is_batch_lineage(n)]
     else:
         fs, p, _ = _fs_for(spark, lineage_dir)
         if not fs.exists(p):
             return totals
-        names = sorted(st.getPath().toString() for st in fs.listStatus(p))
+        names = sorted(st.getPath().toString() for st in fs.listStatus(p)
+                       if _is_batch_lineage(st.getPath().getName()))
     for name in names:
         rec = json.loads(_fs_read_text(name))
         for sink, n in rec["sinks"].items():
@@ -192,6 +202,46 @@ def start_incremental_dedup_stream(
     state; all state lives in storage, which is what makes the operator
     resumable from checkpoint alone.
     """
+    handle_batch = make_incremental_dedup_handler(
+        store_dir, pairs_dir, corpus_docs_dir, id_col=id_col,
+        text_col=text_col, threshold=threshold, bands=bands, rows=rows)
+    stream = (spark.readStream.schema(docs_schema)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .parquet(source_dir))
+    return (stream.writeStream.foreachBatch(handle_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append").start())
+
+
+def make_incremental_dedup_handler(
+    store_dir: str,
+    pairs_dir: str,
+    corpus_docs_dir: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    bands: int = 16,
+    rows: int = 8,
+):
+    """foreachBatch handler for streaming incremental dedup, exposed
+    standalone so replay/crash recovery is directly testable.
+
+    Replay idempotency (round-5 ADVICE — the old append-based state updates
+    permanently duplicated store and docs rows on foreachBatch replay, and
+    a batch-0 crash between the store write and the docs append killed the
+    replay with an AnalysisException on the missing docs dir):
+
+    - EVERY state table is partitioned by ``batch_id`` and written with
+      dynamic partition overwrite — store under
+      ``batch_id=<n>/band=<b>/``, docs and pairs under ``batch_id=<n>/``.
+      A re-delivered batch replaces exactly its own partitions.
+    - Reads of the store and docs exclude the replaying batch's own
+      partitions (``batch_id != n`` — partition-pruned), so rows written
+      by a failed earlier attempt of THIS batch can't probe against
+      themselves; existence of either dir is checked through the Hadoop FS
+      API before reading, so any crash point between the three writes
+      replays cleanly.
+    """
     from ..operators.dedup import incremental_minhash_dedup
 
     docs_dir = corpus_docs_dir or f"{store_dir}_docs"
@@ -204,32 +254,30 @@ def start_incremental_dedup_stream(
             batch_df.unpersist()
             return
         fs, store_path, _ = _fs_for(sp, store_dir)
-        have_store = fs.exists(store_path)
-        if have_store:
-            corpus = sp.read.schema(docs_schema).parquet(docs_dir)
-            pairs = incremental_minhash_dedup(
-                batch_df, corpus, store_dir, id_col=id_col,
-                text_col=text_col, threshold=threshold, bands=bands,
-                rows=rows, exact_grams=True, update_store=True)
+        if fs.exists(store_path):
+            store = (sp.read.parquet(store_dir)
+                     .filter(F.col("batch_id") != batch_id)
+                     .select("band", "key", "id"))
         else:
-            from ..operators.dedup import (
-                ngram_jaccard_pairs, signature_band_entries,
-            )
-            pairs = ngram_jaccard_pairs(batch_df, id_col, text_col,
-                                        threshold=threshold,
-                                        exact_grams=True)
-            (signature_band_entries(batch_df, id_col, text_col,
-                                    bands=bands, rows=rows)
-             .write.mode("overwrite").partitionBy("band").parquet(store_dir))
+            store = sp.createDataFrame([], "band int, key long, id long")
+        dfs, docs_path, _ = _fs_for(sp, docs_dir)
+        if dfs.exists(docs_path):
+            corpus = (sp.read.parquet(docs_dir)
+                      .filter(F.col("batch_id") != batch_id)
+                      .select(id_col, text_col))
+        else:
+            corpus = sp.createDataFrame(
+                [], batch_df.select(id_col, text_col).schema)
+        pairs = incremental_minhash_dedup(
+            batch_df, corpus, store_dir, id_col=id_col, text_col=text_col,
+            threshold=threshold, bands=bands, rows=rows, exact_grams=True,
+            update_store=True, store_df=store, store_batch_id=batch_id)
         (pairs.withColumn("batch_id", F.lit(batch_id))
          .write.mode("overwrite").partitionBy("batch_id")
          .parquet(pairs_dir))
-        batch_df.write.mode("append").parquet(docs_dir)
+        (batch_df.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite").partitionBy("batch_id")
+         .parquet(docs_dir))
         batch_df.unpersist()
 
-    stream = (spark.readStream.schema(docs_schema)
-              .option("maxFilesPerTrigger", max_files_per_trigger)
-              .parquet(source_dir))
-    return (stream.writeStream.foreachBatch(handle_batch)
-            .option("checkpointLocation", checkpoint_dir)
-            .outputMode("append").start())
+    return handle_batch

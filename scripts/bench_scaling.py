@@ -58,6 +58,10 @@ spark = (SparkSession.builder.master(f"local[{{cpus}}]")
          .config("spark.local.dir", workdir + "/local")
          .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
          .config("spark.sql.parquet.compression.codec", codec)
+         # crash forensics (round-6 VERDICT item 5): when a Python worker
+         # dies (the rare codec-correlated "Connection reset"), make it dump
+         # a Python-level stack instead of leaving only a JVM-side EOF
+         .config("spark.python.worker.faulthandler.enabled", "true")
          .config("spark.driver.memory", "24g").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 pipe = GeoipPipeline(spark)
@@ -121,19 +125,41 @@ def hardware_ceiling(base: int, big: int, reps: int = 2) -> dict:
             "hw_speedup": round(b / a, 3)}
 
 
+STDERR_DIR = os.path.join(REPO, "docs", "scaling_stderr")
+
+
 def run_level(cpus: int, n: int, mode: str, codec: str = "snappy") -> dict:
     workdir = tempfile.mkdtemp(dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
                                prefix=f"geoip_scale_{cpus}_")
+    # Per-child stderr is ALWAYS preserved (round-6 VERDICT item 5): the
+    # zstd worker deaths across rounds 4-5 left only a tally mark because
+    # stderr was truncated to a tail in an exception message. Successful
+    # children keep one rolling file per (cores, mode, codec); a crashed
+    # child's full stderr is additionally kept under a crash- name so the
+    # next "Connection reset" yields the faulthandler stacks.
+    os.makedirs(STDERR_DIR, exist_ok=True)
+    err_path = os.path.join(STDERR_DIR, f"child_{cpus}_{mode}_{codec}.log")
+    env = dict(os.environ, PYTHONFAULTHANDLER="1")
     try:
         cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c",
                _CHILD.format(repo=REPO), str(cpus), str(n), mode, workdir,
                codec]
-        out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             timeout=3600, env=env)
+        with open(err_path, "w") as f:
+            f.write(f"# cmd: {' '.join(cmd)}\n# rc: {out.returncode}\n")
+            f.write(out.stderr)
         lines = out.stdout.strip().splitlines()
         if not lines:
+            import time as _t
+            crash = os.path.join(
+                STDERR_DIR,
+                f"crash_{int(_t.time())}_{cpus}_{mode}_{codec}.log")
+            shutil.copyfile(err_path, crash)
             raise RuntimeError(
                 f"scaling child produced no output (rc={out.returncode}); "
-                f"stderr tail: {out.stderr[-2000:]}")
+                f"full stderr preserved at {crash}; tail: "
+                f"{out.stderr[-2000:]}")
         return json.loads(lines[-1])
     finally:
         shutil.rmtree(workdir, ignore_errors=True)

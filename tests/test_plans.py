@@ -203,3 +203,54 @@ def test_incremental_dedup_never_resignatures_corpus(spark, tmp_path_factory):
     out = incremental_minhash_dedup(new, corpus, store, bands=16, rows=8,
                                     threshold=0.8, exact_grams=True)
     assert {(r.id_a, r.id_b) for r in out.collect()} == {(3, 100)}
+
+
+def test_bucketed_store_probe_has_no_store_side_exchange(spark,
+                                                         tmp_path_factory):
+    """Round-6 plan shape for the bucketed incremental-dedup store: the
+    probe equi-joins on the store's bucket column (`key`) alone, so the
+    bucketed scan satisfies the join's required distribution — NO exchange
+    on the store side; only the new batch's entries shuffle. At a
+    16-trillion-row store this is the difference between a daily probe
+    that costs O(new batch) and one that re-shuffles the store every run."""
+    from fluent_plugin_geoip_spark.operators.dedup import (
+        incremental_minhash_dedup, signature_band_entries,
+        write_signature_store,
+    )
+    corpus = spark.createDataFrame(
+        [(i, f"corpus document number {i} text " * 3) for i in range(20)],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(100, "corpus document number 3 text " * 3)],
+        "doc_id long, text string")
+    store = str(tmp_path_factory.mktemp("bincr") / "store")
+    table = write_signature_store(corpus, store, bands=16, rows=8,
+                                  bucket_by=8, table="t_sig_store_pin")
+    assert table == "t_sig_store_pin"
+
+    new_entries = signature_band_entries(new, bands=16, rows=8)
+    probe = (new_entries.select("key", F.col("id").alias("id_new"))
+             .join(spark.table(table)
+                   .select("key", F.col("id").alias("id_old")), ["key"]))
+    # pin the non-broadcast (production big-batch) plan: at scale the new
+    # batch exceeds any broadcast threshold and the join is sort-merge
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = explain(probe, "simple")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # the store scan reads its bucket layout...
+    assert "Bucketed: true" in plan, plan
+    assert "SelectedBucketsCount: 8 out of 8" in plan, plan
+    # ...and exactly ONE exchange exists: the probe side. Nothing between
+    # the store FileScan and the join.
+    assert plan.count("Exchange") == 1, plan
+    store_side = plan[plan.index("FileScan"):]
+    assert "Exchange" not in store_side, plan
+
+    # end-to-end through the real operator stays correct on the bucketed path
+    out = incremental_minhash_dedup(new, corpus, store, bands=16, rows=8,
+                                    threshold=0.8, exact_grams=True,
+                                    store_table=table)
+    assert {(r.id_a, r.id_b) for r in out.collect()} == {(3, 100)}

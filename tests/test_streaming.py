@@ -301,3 +301,54 @@ def test_stream_lineage_through_scheme_qualified_out_dir(spark, tmp_path):
     # replay of batch 1 is idempotent (dynamic overwrite by batch_id)
     handler(enriched, 1)
     assert spark.read.parquet(f"{out}/data").count() == 600
+
+
+def test_incremental_dedup_handler_crash_replay(spark, tmp_path):
+    """Replay idempotency for the streaming incremental-dedup state tables
+    (round-5 ADVICE): every state write is batch_id-partitioned dynamic
+    overwrite, so re-delivery after ANY crash point — including a crash
+    between the store update and the docs append — converges to the same
+    store/docs/pairs contents instead of duplicating rows or dying on a
+    missing docs dir."""
+    import shutil as _sh
+
+    from fluent_plugin_geoip_spark.streaming.stream import (
+        make_incremental_dedup_handler,
+    )
+    store = str(tmp_path / "store")
+    pairs_dir = str(tmp_path / "pairs")
+    docs = str(tmp_path / "docs")
+    h = make_incremental_dedup_handler(store, pairs_dir, docs, threshold=0.8)
+    base = "the quick brown fox jumps over the lazy dog %d "
+    b0 = spark.createDataFrame(
+        [(1, base % 1 * 5), (2, "first unique text " * 8)],
+        "doc_id long, text string")
+    h(b0, 0)
+    s0 = spark.read.parquet(store).count()
+    d0 = spark.read.parquet(docs).count()
+    assert s0 == 16 * 2 and d0 == 2
+
+    # crash point A: batch 0 wrote the store but not the docs dir — the
+    # exact AnalysisException scenario from the advice. Replay must succeed
+    # and restore the docs.
+    _sh.rmtree(docs)
+    h(b0, 0)
+    assert spark.read.parquet(store).count() == s0
+    assert spark.read.parquet(docs).count() == d0
+
+    # crash point B: batch 1 updated the store, then crashed before the
+    # docs append; checkpoint never committed, so batch 1 replays whole.
+    b1 = spark.createDataFrame(
+        [(10, base % 1 * 5)], "doc_id long, text string")
+    h(b1, 1)
+    _sh.rmtree(f"{docs}/batch_id=1")
+    h(b1, 1)  # replay: store rows from the failed attempt must not double
+    assert spark.read.parquet(store).count() == s0 + 16
+    assert spark.read.parquet(docs).count() == d0 + 1
+    got = [(r.id_a, r.id_b) for r in spark.read.parquet(pairs_dir).collect()]
+    assert got.count((1, 10)) == 1  # cross-batch pair, exactly once
+
+    # crash point C: full replay of an already-committed batch
+    h(b1, 1)
+    assert spark.read.parquet(store).count() == s0 + 16
+    assert spark.read.parquet(docs).count() == d0 + 1

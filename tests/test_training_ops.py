@@ -522,3 +522,75 @@ def test_incremental_store_update_and_skew_cap(spark, tmp_path):
         new2, corpus2, store, bands=16, rows=8, threshold=0.8,
         exact_grams=True, max_store_bucket=0)
     assert out3.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# round-6 ADVICE regressions: band-entry HOF form, cache hygiene, skew metric
+# ---------------------------------------------------------------------------
+
+def test_band_entries_hof_matches_static(spark):
+    """The single-reference HOF band builder must produce bit-identical
+    (band, key) values to the static per-band form — store written by one
+    path, probed by the other, must collide on true matches."""
+    sig = F.array(*[F.pmod(F.xxhash64(F.col("id") + F.lit(i)),
+                           F.lit(dedup._P)) for i in range(32)]).alias("sig")
+    df = spark.range(50).select("id", sig)
+    a = (df.select("id", F.explode(dedup._band_entries(F.col("sig"), 8, 4))
+                   .alias("b")).select("id", "b.band", "b.key"))
+    b = (df.select("id", F.explode(dedup._band_entries_hof(F.col("sig"), 8, 4))
+                   .alias("b")).select("id", "b.band", "b.key"))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert a.count() == 50 * 8
+
+
+def test_hof_signature_path_leaves_no_cache(spark):
+    """signature_band_entries(use_pandas_sig=False) must not leak persisted
+    blocks across invocations (round-5 ADVICE): the HOF band builder
+    removed the need for the persist barrier entirely."""
+    df = spark.createDataFrame(
+        [(i, f"document body number {i} " * 3) for i in range(20)],
+        "doc_id long, text string")
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    out = dedup.signature_band_entries(df, bands=16, rows=8,
+                                       use_pandas_sig=False)
+    assert out.count() == 20 * 16
+    assert jsc.getPersistentRDDs().size() == before
+
+
+def test_incremental_dedup_releases_caches(spark, tmp_path):
+    """Repeated daily invocations must not accumulate cached blocks
+    (round-5 ADVICE: cands/new_entries persisted and never unpersisted)."""
+    corpus = spark.createDataFrame(
+        [(i, f"corpus doc {i} body " * 4) for i in range(10)],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(100, "corpus doc 3 body " * 4)], "doc_id long, text string")
+    store = str(tmp_path / "store")
+    dedup.write_signature_store(corpus, store, bands=16, rows=8)
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    out = dedup.incremental_minhash_dedup(
+        new, corpus, store, bands=16, rows=8, threshold=0.8,
+        exact_grams=True)
+    assert {(r.id_a, r.id_b) for r in out.collect()} == {(3, 100)}
+    # only the returned verified-pairs cache (1 RDD) may remain by design
+    assert jsc.getPersistentRDDs().size() <= before + 1
+
+
+def test_embedding_near_dupes_skew_accounting(spark, embs):
+    """The skew-cap drop count must be reachable by callers even when EVERY
+    bucket is dropped (round-5 ADVICE: the lazy Observation was created and
+    discarded — and AQE empty-propagation loses it in exactly this case)."""
+    rows = embs.limit(3).collect()
+    planted = [Row(vec_id=10_000 + r.vec_id,
+                   embedding=[v * 1.0001 for v in r.embedding],
+                   label=r.label) for r in rows]
+    df = embs.unionByName(spark.createDataFrame(planted, embs.schema))
+    capped = similarity.embedding_near_dupes(
+        df, threshold=0.999, n_tables=8, max_bucket=1)
+    assert capped.count() == 0
+    assert capped.dropped_buckets and capped.dropped_buckets > 0
+    # uncapped form carries no accounting (and stays lazy/exact)
+    exact = similarity.embedding_near_dupes(df, threshold=0.999, n_tables=8)
+    assert exact.dropped_buckets is None
