@@ -125,7 +125,10 @@ def bench_pipeline(spark: SparkSession, n_pages: int) -> tuple[float, dict]:
         pipe.run(generate_pages(spark, 1000), collect_metrics=False,
                  out_dir=os.path.join(out_dir, "warmup"))
         dt = float("inf")
-        for i in range(REPS):  # best-of-N to damp co-tenant noise
+        # headline metric gets extra reps: the round-6 interleaved A/B
+        # (BASELINE.md) measured ±18% best-of-3 swing within one hour on
+        # this box, which had produced contradictory per-round artifacts
+        for i in range(max(REPS, 5)):  # best-of-N to damp co-tenant noise
             t0 = time.perf_counter()
             res = pipe.run(pages, out_dir=os.path.join(out_dir, f"routed{i}"))
             dt = min(dt, time.perf_counter() - t0)

@@ -156,10 +156,19 @@ def decode_png(payload: bytes) -> np.ndarray:
     return _dec(payload)
 
 
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Real JPEG decode (round 6): from-scratch baseline-sequential ITU
+    T.81 decoder — marker/DQT/DHT parse, canonical Huffman entropy decode,
+    dequant + IDCT, YCbCr→RGB — see ``sources.jpeg``."""
+    from ..sources.jpeg import decode_jpeg as _dec
+    return _dec(payload)
+
+
 DECODERS: dict[str, Callable[[bytes], np.ndarray]] = {
     "image/ppm": decode_ppm,
     "image/x-portable-pixmap": decode_ppm,
     "image/png": decode_png,
+    "image/jpeg": decode_jpeg,
 }
 
 AUDIO_DECODERS: dict[str, Callable[[bytes], np.ndarray]] = {
@@ -300,6 +309,44 @@ def generate_png_images(spark, n: int, width: int = 8,
                 rows.append(encode_png(px.reshape(height, width, 3)))
             yield pd.DataFrame({
                 "media_id": pdf["id"], "kind": "image", "mime": "image/png",
+                "width": np.int32(width), "height": np.int32(height),
+                "duration_ms": pd.array([None] * len(pdf), dtype="Int64"),
+                "payload": rows})
+
+    return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def generate_jpeg_images(spark, n: int, width: int = 16, height: int = 16,
+                         quality: int = 100) -> DataFrame:
+    """n real baseline JPEGs whose 8×8 blocks are CONSTANT grays — block b
+    (row-major block index) of image ``id`` has gray ``(id*23 + b*71) % 256``
+    in all three channels.
+
+    Why this formula: JPEG is lossy, so an independent-SQL oracle needs
+    inputs the codec provably round-trips bit-exact. At quality=100 the
+    Annex-K tables scale to all ones; a constant block has a single DC
+    coefficient (8×the level-shifted value — integral, so rounding is
+    exact) and zero ACs, and gray pixels make the YCbCr hop exact
+    (Cb=Cr=128). decode(encode(x)) == x, hence the DuckDB oracle can
+    restate the DECODED pixels from the generator formula. The Spark side
+    still exercises the full container + entropy layer of
+    ``sources/jpeg.py``: marker/DQT/DHT parse, canonical Huffman DC in both
+    tables with differential prediction chained across blocks, EOB in both
+    AC tables, byte stuffing, IDCT + color convert."""
+    from ..sources.jpeg import encode_jpeg
+    bw = width // 8
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        yy, xx = np.mgrid[0:height, 0:width]
+        bidx = (yy // 8) * bw + xx // 8
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                g = ((mid * 23 + bidx * 71) % 256).astype(np.uint8)
+                px = np.repeat(g[:, :, None], 3, axis=2)
+                rows.append(encode_jpeg(px, quality=quality))
+            yield pd.DataFrame({
+                "media_id": pdf["id"], "kind": "image", "mime": "image/jpeg",
                 "width": np.int32(width), "height": np.int32(height),
                 "duration_ms": pd.array([None] * len(pdf), dtype="Int64"),
                 "payload": rows})

@@ -11,10 +11,29 @@ becomes a filter on the key.
 
 Scale design:
 - **skew**: country is Zipfian (US/CN hotspots). A plain
-  ``repartition(country)`` puts each hot country in ONE task. We salt:
-  ``repartition(num, country, salt)`` with ``salt = pmod(hash(url), buckets)``
-  so a hot country spreads over ``buckets`` tasks while each output partition
-  directory still receives only its own rows.
+  ``repartition(country)`` puts each hot country in ONE task. Two
+  strategies (``strategy=``):
+
+  - ``"rebalance"`` (default, round 6): ``hint("REBALANCE", country)`` —
+    AQE sizes the post-shuffle partitions to
+    ``advisoryPartitionSizeInBytes``, SPLITTING hot countries across tasks
+    (``optimizeSkewsInRebalancePartitions``) and MERGING small countries
+    into shared tasks. Files per sink ≈ ceil(sink bytes / advisory size):
+    a hot country gets as many right-sized files as its data needs, a tiny
+    country gets exactly ONE — static salting wrote up to ``salt_buckets``
+    near-empty files per small sink and fixed the hot-country split factor
+    at config time. Fewer files also shrink the serialized driver-side
+    commit protocol, the term that does NOT scale with executors (round-6
+    VERDICT item 2: the N→4N shortfall lives in the sink-write leg).
+  - ``"salt"``: ``repartition(num, country, salt)`` with
+    ``salt = pmod(hash(url), buckets)`` — deterministic fallback for
+    configs without AQE; a hot country spreads over ``buckets`` tasks
+    while each output partition directory still receives only its own
+    rows.
+
+  The manifest records ``files``/``bytes`` per sink either way, so the
+  write-leg shape (files per sink, bytes per row) is diagnosable from the
+  lineage alone.
 - **idempotent retries / resume**: dynamic partition overwrite
   (``partitionOverwriteMode=dynamic``) makes re-writing a partition atomic at
   the partition level; the manifest records per-partition row counts +
@@ -143,6 +162,28 @@ def _clean_stale_output(spark, out_dir: str, route_col: str,
         fs.delete(mp, False)
 
 
+def sink_file_stats(spark, out_dir: str, route_col: str,
+                    vals: list[str]) -> dict[str, tuple[int, int]]:
+    """(file_count, total_bytes) per partition value — driver-side Hadoop FS
+    metadata listing only (no data read). Feeds the manifest's
+    ``files``/``bytes`` fields so the sink-write leg is diagnosable."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    out: dict[str, tuple[int, int]] = {}
+    for v in vals:
+        p = jvm.org.apache.hadoop.fs.Path(f"{out_dir}/{route_col}={v}")
+        fs = p.getFileSystem(conf)
+        files = nbytes = 0
+        if fs.exists(p):
+            for st in fs.listStatus(p):
+                name = st.getPath().getName()
+                if st.isFile() and not name.startswith(("_", ".")):
+                    files += 1
+                    nbytes += st.getLen()
+        out[v] = (files, nbytes)
+    return out
+
+
 def iceberg_available(spark) -> bool:
     """True when Iceberg's Spark runtime is on the classpath (S5: Iceberg
     catalog target with partitioned-parquet fallback in environments without
@@ -182,6 +223,7 @@ def route_and_write(
     stat_cols: tuple[str, ...] = (),
     key_col: str = "url",
     audit: str = "full",
+    strategy: str = "rebalance",
 ) -> tuple[dict, list]:
     """Fan the DataFrame out to ``out_dir/<route_col>=<value>/`` sinks.
 
@@ -204,9 +246,19 @@ def route_and_write(
       footer metadata — the re-read touches no data pages.
     - ``"off"``: no read-back job at all; manifest entries record only
       ``completed_at`` (rows/checksum ``None``) and ``stats_rows`` is empty.
+
+    Every manifest entry additionally records ``files``/``bytes`` for its
+    sink (driver-side FS metadata, no data read) — the write-leg
+    diagnosability the scaling analysis needs. ``strategy`` picks the
+    fan-out shuffle: ``"rebalance"`` (AQE size-targeted, default) or
+    ``"salt"`` (static ``salt_buckets``-way salting; ``num_partitions``
+    applies only here). See the module docstring.
     """
     if audit not in ("full", "counts", "off"):
         raise ValueError(f"audit must be 'full'|'counts'|'off', got {audit!r}")
+    if strategy not in ("rebalance", "salt"):
+        raise ValueError(
+            f"strategy must be 'rebalance'|'salt', got {strategy!r}")
     spark = df.sparkSession
     fmt = resolve_sink_format(spark, fmt)
     if key_col not in df.columns:
@@ -227,9 +279,14 @@ def route_and_write(
     if done:
         df = df.filter(~F.col(route_col).isin(list(done.keys())))
 
-    salt = F.pmod(F.xxhash64(F.col(key_col)), F.lit(salt_buckets))
-    n = num_partitions or spark.sparkContext.defaultParallelism
-    routed = df.repartition(n, F.col(route_col), salt)
+    if strategy == "rebalance":
+        # AQE rebalance: size-targeted partitions keyed on the route
+        # column; hot countries split, small ones merged (see module doc)
+        routed = df.hint("rebalance", route_col)
+    else:
+        salt = F.pmod(F.xxhash64(F.col(key_col)), F.lit(salt_buckets))
+        n = num_partitions or spark.sparkContext.defaultParallelism
+        routed = df.repartition(n, F.col(route_col), salt)
 
     (routed.write.mode("overwrite").partitionBy(route_col).format(fmt)
         .save(out_dir))
@@ -245,11 +302,13 @@ def route_and_write(
         write_manifest(out_dir, done)
         return dict(done), []
     manifest = dict(done)
+    fstats = sink_file_stats(spark, out_dir, route_col, new_vals)
     if audit == "off":
         now = int(time.time())
         for v in new_vals:
             manifest[v] = {"rows": None, "checksum": None,
-                           "completed_at": now}
+                           "completed_at": now,
+                           "files": fstats[v][0], "bytes": fstats[v][1]}
         stats = []
     else:
         written = (spark.read.format(fmt).load(out_dir)
@@ -268,6 +327,7 @@ def route_and_write(
             ent["rows"] += r["rows"]
             if audit == "full":
                 ent["checksum"] += int(r["checksum"] or 0)
+            ent["files"], ent["bytes"] = fstats[key]
     write_manifest(out_dir, manifest)
     # input lineage: which source splits fed this run (driver-side metadata,
     # no extra job; empty for purely generated inputs)

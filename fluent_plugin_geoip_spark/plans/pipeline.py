@@ -90,7 +90,8 @@ class GeoipPipeline:
 
     def run(self, pages: DataFrame, out_dir: str | None = None,
             resume: bool = False, salt_buckets: int = 16,
-            collect_metrics: bool = True, audit: str = "full") -> PipelineResult:
+            collect_metrics: bool = True, audit: str = "full",
+            strategy: str = "rebalance") -> PipelineResult:
         enriched = self.enrich(pages)
         obs = None
         if collect_metrics:
@@ -100,7 +101,8 @@ class GeoipPipeline:
             keep = [c for c in enriched.columns if c != "access"]
             manifest, stats = route_and_write(
                 enriched.select(*keep), out_dir, salt_buckets=salt_buckets,
-                resume=resume, stat_cols=("lang",), audit=audit)
+                resume=resume, stat_cols=("lang",), audit=audit,
+                strategy=strategy)
             # counts derive from the SAME lineage aggregate (no extra scan);
             # on resume the stats cover only partitions written this run
             rows = [("__miss__" if r["route_country"] == "__unrouted__"

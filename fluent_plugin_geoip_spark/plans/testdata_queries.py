@@ -1185,6 +1185,53 @@ def q_multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_MULTIMODAL_PNG = ORACLE_MULTIMODAL
 
 
+def q_multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossy-format decode certified end to end (round 6): 16×16
+    images whose 8×8 blocks are constant grays, carried as genuine
+    baseline-JPEG bytes (markers, Annex-K tables, canonical Huffman,
+    byte stuffing) decoded by the from-scratch ``sources/jpeg.py``. At
+    quality=100 these inputs round-trip bit-exact (single integral DC
+    coefficient per block, all-ones quant tables, gray ⇒ exact YCbCr), so
+    the oracle restates the DECODED pixels from the generator formula —
+    any error in the container parse, Huffman decode, DC prediction
+    chain, dequant/IDCT or color convert breaks the hash."""
+    from ..operators.multimodal import generate_jpeg_images, image_stats
+    media = generate_jpeg_images(spark, 300)
+    return image_stats(media)
+
+
+# gray of block b of image id: (id*23 + b*71) % 256; blocks are 8×8 in a
+# 16×16 image (b = (y//8)*2 + x//8). sum_r/g/b = 64 × Σ_b gray_b; ahash
+# runs over the FIRST 64 flat pixels (rows 0-3 ⇒ blocks 0/1 only), exactly
+# as operators/multimodal.py ahash64 does.
+ORACLE_MULTIMODAL_JPEG = """
+WITH blocks AS (
+  SELECT t.id AS media_id, b.b AS b, (t.id * 23 + b.b * 71) % 256 AS g
+  FROM range(300) t(id), range(4) b(b)
+), agg AS (
+  SELECT media_id, 64 * sum(g) AS s FROM blocks GROUP BY 1
+), px AS (
+  SELECT t.id AS media_id, s.i AS i,
+         (t.id * 23 + ((s.i % 16) // 8) * 71) % 256 AS gray
+  FROM range(300) t(id), range(64) s(i)
+), m AS (
+  SELECT media_id, sum(gray) // 64 AS mean FROM px GROUP BY 1
+), bits AS (
+  SELECT px.media_id,
+         sum(CASE WHEN px.gray > m.mean
+                  THEN CASE WHEN px.i = 63 THEN -9223372036854775808
+                       ELSE (CAST(1 AS BIGINT) << CAST(px.i AS INT)) END
+                  ELSE 0 END) AS ahash
+  FROM px JOIN m USING (media_id) GROUP BY 1
+)
+SELECT a.media_id, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+       CAST(a.s AS BIGINT) AS sum_r, CAST(a.s AS BIGINT) AS sum_g,
+       CAST(a.s AS BIGINT) AS sum_b,
+       CAST(coalesce(b.ahash, 0) AS BIGINT) AS ahash
+FROM agg a JOIN bits b USING (media_id)
+"""
+
+
 def q_multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode certified end to end: formula-sample PCM WAV →
     pure-NumPy RIFF parse → exact integer stats; the oracle restates the
@@ -1334,6 +1381,7 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "multimodal_features": q_multimodal_features,
     "multimodal_png_stats": q_multimodal_png_stats,
+    "multimodal_jpeg_stats": q_multimodal_jpeg_stats,
     "multimodal_audio_stats": q_multimodal_audio_stats,
     "multimodal_video_frames": q_multimodal_video_frames,
 }
@@ -1366,6 +1414,7 @@ ORACLES = {
     "topk_per_group": ORACLE_TOPK,
     "multimodal_features": ORACLE_MULTIMODAL,
     "multimodal_png_stats": ORACLE_MULTIMODAL_PNG,
+    "multimodal_jpeg_stats": ORACLE_MULTIMODAL_JPEG,
     "ann_lsh_topk": _ann_oracle_sql(),
     "ann_ivf_topk": _ivf_oracle_sql(),
     "dedup_simhash": ORACLE_SIMHASH,

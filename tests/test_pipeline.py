@@ -420,3 +420,25 @@ def test_audit_modes(spark, pages_dir, tmp_path):
 
     with pytest.raises(ValueError, match="audit"):
         route_and_write(enriched, str(tmp_path / "bad"), audit="sampled")
+
+
+def test_rebalance_strategy_one_file_per_small_sink(spark, tmp_path):
+    """Round-6 fan-out default: AQE REBALANCE sizes write partitions, so at
+    small scale every sink coalesces to exactly ONE file (static salting
+    wrote up to salt_buckets near-empty files per sink), and the manifest
+    records files/bytes per sink for write-leg diagnosability."""
+    pages = generate_pages(spark, 20_000, seed=11, partitions=8)
+    res = GeoipPipeline(spark).run(pages, out_dir=str(tmp_path / "rb"),
+                                   strategy="rebalance")
+    assert res.manifest
+    for v in res.manifest.values():
+        assert v["files"] >= 1 and v["bytes"] > 0
+    assert (sum(v["files"] for v in res.manifest.values())
+            == len(res.manifest))
+    # salted fan-out on the same input writes strictly more files
+    res_salt = GeoipPipeline(spark).run(pages, out_dir=str(tmp_path / "sa"),
+                                        strategy="salt")
+    assert (sum(v["files"] for v in res_salt.manifest.values())
+            > len(res_salt.manifest))
+    assert ({k: v["rows"] for k, v in res_salt.manifest.items()}
+            == {k: v["rows"] for k, v in res.manifest.items()})

@@ -84,6 +84,20 @@ def test_route_plan_has_single_salted_exchange(spark, pages_parquet):
     assert "hashpartitioning(route_country" in plan, plan
 
 
+def test_route_rebalance_plan_is_single_aqe_exchange(spark, pages_parquet):
+    """Round-6 default fan-out: ONE exchange, keyed on the route column,
+    flagged REBALANCE so AQE sizes/splits/merges the write partitions
+    (files per sink track data volume instead of salt_buckets)."""
+    pages = spark.read.parquet(pages_parquet)
+    enriched = GeoipPipeline(spark).enrich(pages)
+    routed = enriched.hint("rebalance", "route_country")
+    plan = explain(routed)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1, tree
+    assert "REBALANCE_PARTITIONS_BY_COL" in plan, plan
+    assert "hashpartitioning(route_country" in plan, plan
+
+
 def test_aggregate_partial_final(spark, pages_parquet):
     pages = spark.read.parquet(pages_parquet)
     counts = pages.groupBy("lang").agg(F.count("*").alias("n"))
