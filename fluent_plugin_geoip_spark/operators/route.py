@@ -365,6 +365,74 @@ def write_manifest(out_dir: str, manifest: dict) -> None:
                    json.dumps(manifest, indent=1, sort_keys=True))
 
 
+def compact_sinks(spark, out_dir: str, route_col: str = "route_country",
+                  fmt: str = "parquet", max_files_per_sink: int = 1,
+                  resume_manifest: bool = True) -> dict[str, tuple[int, int]]:
+    """Rewrite fragmented sink partitions into right-sized files — the
+    follow-up maintenance pass a long-lived sink needs after many
+    incremental/streaming runs (each batch run appends at least one file
+    per touched sink; SCALE.md promises this compaction as the answer).
+
+    Partitions already at ≤ ``max_files_per_sink`` files are left
+    untouched (their bytes are not re-read or re-written — compaction cost
+    is proportional to the FRAGMENTED data only). Fragmented partitions are
+    re-read and rewritten through an AQE REBALANCE shuffle with dynamic
+    partition overwrite, so the rewrite is atomic per partition and
+    interrupted compactions leave every sink either old-complete or
+    new-complete. Row counts per compacted partition are verified against
+    the manifest when one exists (fail loudly rather than quietly dropping
+    data), and the manifest's ``files``/``bytes`` are refreshed.
+
+    Returns {partition value: (files_before, files_after)} for the
+    partitions it rewrote.
+    """
+    vals = list_partition_values(spark, out_dir, route_col)
+    before = sink_file_stats(spark, out_dir, route_col, vals)
+    todo = [v for v in vals if before[v][0] > max_files_per_sink]
+    if not todo:
+        return {}
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    frag = (spark.read.format(fmt).load(out_dir)
+            .filter(F.col(route_col).isin(todo)))
+    manifest = read_manifest(out_dir) if resume_manifest else {}
+    if manifest:
+        counts = {r[route_col]: r["n"] for r in
+                  frag.groupBy(route_col).agg(F.count("*").alias("n"))
+                  .collect()}
+        for v in todo:
+            want = (manifest.get(v) or {}).get("rows")
+            if want is not None and counts.get(v) != want:
+                raise IOError(
+                    f"compact_sinks: partition {v} holds {counts.get(v)} "
+                    f"rows but manifest records {want}; refusing to "
+                    "compact a sink that disagrees with its lineage")
+    # Spark (rightly) refuses to overwrite a path it is reading, so the
+    # fragmented rows stage through a sibling dir first; the final write
+    # back is the atomic-per-partition dynamic overwrite. A crash between
+    # the two passes leaves the sink untouched (stage dir is garbage,
+    # cleaned on the next attempt).
+    stage = f"{out_dir}/{MANIFEST_DIR}/compact_stage"
+    jvm = spark._jvm
+    sp = jvm.org.apache.hadoop.fs.Path(stage)
+    sfs = sp.getFileSystem(spark._jsc.hadoopConfiguration())
+    if sfs.exists(sp):
+        sfs.delete(sp, True)
+    (frag.hint("rebalance", route_col)
+     .write.mode("overwrite").partitionBy(route_col).format(fmt)
+     .save(stage))
+    (spark.read.format(fmt).load(stage)
+     .write.mode("overwrite").partitionBy(route_col).format(fmt)
+     .save(out_dir))
+    sfs.delete(sp, True)
+    after = sink_file_stats(spark, out_dir, route_col, todo)
+    if manifest:
+        for v in todo:
+            if v in manifest:
+                manifest[v]["files"], manifest[v]["bytes"] = after[v]
+        write_manifest(out_dir, manifest)
+    return {v: (before[v][0], after[v][0]) for v in todo}
+
+
 def per_sink_counts(out_dir: str, route_col: str = "route_country",
                     fmt: str = "parquet"):
     """Recount rows per sink directly from the written sinks (the routed-row

@@ -70,22 +70,33 @@ def start_pipeline_stream(
     return query
 
 
-def make_batch_handler(out_dir: str, salt_buckets: int = 8):
+def make_batch_handler(out_dir: str, salt_buckets: int = 8,
+                       strategy: str = "rebalance"):
     """foreachBatch handler with true replay idempotency: every micro-batch
     writes under ``batch_id=<n>/route_country=<c>/`` with DYNAMIC partition
     OVERWRITE, so a re-delivered batch (crash between the sink write and the
     checkpoint commit) replaces exactly its own partitions instead of
     appending a duplicate copy. Exposed standalone so replay can be tested
-    by invoking it twice with the same batch id."""
+    by invoking it twice with the same batch id.
+
+    ``strategy`` mirrors the batch router (round 6): ``"rebalance"``
+    (default) lets AQE size the per-batch write partitions — micro-batches
+    are small, so this typically lands ONE file per (batch, country)
+    instead of up to ``salt_buckets``; ``"salt"`` keeps the static salted
+    repartition. Long-running streams should still compact periodically
+    (``operators.route.compact_sinks``)."""
     lineage_dir = f"{out_dir}/_lineage/batches"
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        salt = F.pmod(F.xxhash64(F.col("url")), F.lit(salt_buckets))
-        n = spark.sparkContext.defaultParallelism
-        routed = (batch_df.withColumn("batch_id", F.lit(batch_id))
-                  .repartition(n, F.col("route_country"), salt))
+        routed = batch_df.withColumn("batch_id", F.lit(batch_id))
+        if strategy == "rebalance":
+            routed = routed.hint("rebalance", "route_country")
+        else:
+            salt = F.pmod(F.xxhash64(F.col("url")), F.lit(salt_buckets))
+            n = spark.sparkContext.defaultParallelism
+            routed = routed.repartition(n, F.col("route_country"), salt)
         (routed.write.mode("overwrite")
             .partitionBy("batch_id", "route_country")
             .parquet(f"{out_dir}/data"))

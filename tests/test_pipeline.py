@@ -442,3 +442,64 @@ def test_rebalance_strategy_one_file_per_small_sink(spark, tmp_path):
             > len(res_salt.manifest))
     assert ({k: v["rows"] for k, v in res_salt.manifest.items()}
             == {k: v["rows"] for k, v in res.manifest.items()})
+
+
+def test_compact_sinks_merges_fragmented_partitions(spark, tmp_path):
+    """Round-6 maintenance operator: after several incremental runs leave
+    multiple files per sink, compact_sinks rewrites ONLY the fragmented
+    partitions down to right-sized files, preserves every row, refreshes
+    manifest files/bytes, and refuses nothing it shouldn't."""
+    from fluent_plugin_geoip_spark.operators.route import (
+        compact_sinks, read_manifest, sink_file_stats,
+    )
+    out = str(tmp_path / "sink")
+    pages = generate_pages(spark, 10_000, seed=3, partitions=8)
+    pipe = GeoipPipeline(spark)
+    res = pipe.run(pages, out_dir=out)
+    # fragment: three resumed incremental appends of new partitions would
+    # each add files; simulate by salting a second run into the same dirs
+    pages2 = generate_pages(spark, 10_000, seed=3, partitions=8)
+    enriched = pipe.enrich(pages2)
+    keep = [c for c in enriched.columns if c != "access"]
+    (enriched.select(*keep).repartition(8)
+     .write.mode("append").partitionBy("route_country").parquet(out))
+    vals = sorted(res.manifest)
+    before = sink_file_stats(spark, out, "route_country", vals)
+    assert any(f > 1 for f, _ in before.values())
+    total_before = spark.read.parquet(out).count()
+
+    # manifest rows are stale (we appended outside route_and_write), so
+    # compact without manifest verification first
+    done = compact_sinks(spark, out, resume_manifest=False)
+    assert done  # something was fragmented and got compacted
+    after = sink_file_stats(spark, out, "route_country", vals)
+    assert all(f == 1 for f, _ in after.values())
+    assert spark.read.parquet(out).count() == total_before
+    # second compaction is a no-op
+    assert compact_sinks(spark, out, resume_manifest=False) == {}
+
+
+def test_compact_sinks_verifies_manifest_rows(spark, tmp_path):
+    """With a manifest present, compaction cross-checks per-partition row
+    counts against lineage and fails loudly on disagreement."""
+    from fluent_plugin_geoip_spark.operators.route import (
+        compact_sinks, read_manifest, write_manifest,
+    )
+    out = str(tmp_path / "sink")
+    pages = generate_pages(spark, 5_000, seed=5, partitions=4)
+    res = GeoipPipeline(spark).run(pages, out_dir=out, strategy="salt",
+                                   salt_buckets=4)
+    # salt wrote >1 file for at least the hot sinks; manifest rows accurate
+    done = compact_sinks(spark, out)   # verifies against manifest: passes
+    assert done
+    m = read_manifest(out)
+    assert all(v["files"] == 1 for k, v in m.items()
+               if k in done)
+    # corrupt the manifest → compaction must refuse
+    m[next(iter(m))]["rows"] += 1
+    write_manifest(out, m)
+    # re-fragment so there is something to compact
+    spark.read.parquet(out).repartition(4) \
+        .write.mode("append").partitionBy("route_country").parquet(out)
+    with pytest.raises(IOError, match="disagrees with its lineage"):
+        compact_sinks(spark, out)
