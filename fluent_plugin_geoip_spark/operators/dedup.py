@@ -457,6 +457,80 @@ def simhash_dedup(df: DataFrame, id_col: str = "doc_id",
 
 
 # ---------------------------------------------------------------------------
+# near-dup clustering: pairs → connected components → keep-one
+# ---------------------------------------------------------------------------
+
+def connected_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
+    """(id_a, id_b) near-dup edges → (id, component) where ``component`` is
+    the minimum doc id reachable through the pair graph — the clustering
+    step a production dedup pipeline runs AFTER pair generation, so "keep
+    one document per duplicate CLUSTER" is well-defined even when A≈B≈C
+    but the A–C pair itself fell under the threshold.
+
+    Algorithm: iterative min-label propagation. Each round every node
+    takes the min of its own label and its neighbors' labels — one
+    narrow-row shuffle per round, no vertex state besides (id, long).
+    Rounds needed = graph diameter; near-dup clusters are dense, tiny-
+    diameter cliques-ish blobs (a Jaccard-0.8 cluster's diameter is
+    almost always ≤ 3), so this converges in a handful of rounds and the
+    loop exits as soon as a round changes nothing. For adversarial
+    long-chain graphs at web scale, swap in the large-star/small-star
+    alternating scheme (Kiveris et al., public algorithm) — same
+    DataFrame shape, fewer rounds; not needed for dedup-shaped graphs.
+    ``max_iters`` is a hard stop that raises rather than returning a
+    half-converged (silently wrong) labeling.
+    """
+    edges = (pairs.select(F.col("id_a").alias("src"),
+                          F.col("id_b").alias("dst"))
+             .union(pairs.select(F.col("id_b").alias("src"),
+                                 F.col("id_a").alias("dst")))
+             .distinct().persist())
+    # Each round MUST truncate lineage, not merely cache: persist() leaves
+    # the logical plan nesting one join deeper per round, and by ~12
+    # rounds plan compilation itself OOMs the driver. localCheckpoint
+    # (eager) materializes AND cuts the lineage, keeping every round's
+    # plan two joins deep. (On a multi-executor cluster prefer reliable
+    # `checkpoint()` + setCheckpointDir — localCheckpoint state dies with
+    # an executor; identical plan shape either way.)
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+              .withColumn("comp", F.col("id")).localCheckpoint())
+    for _ in range(max_iters):
+        neigh = (edges.join(labels, edges.dst == labels.id)
+                 .groupBy("src").agg(F.min("comp").alias("ncomp")))
+        new_labels = (labels.join(neigh, labels.id == neigh.src, "left")
+                      .select(labels.id,
+                              F.least(F.col("comp"),
+                                      F.coalesce(F.col("ncomp"),
+                                                 F.col("comp")))
+                              .alias("comp")).localCheckpoint())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .filter(F.col("n.comp") != F.col("o.comp")).count())
+        labels = new_labels
+        if changed == 0:
+            edges.unpersist()
+            return labels
+    edges.unpersist()
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds — "
+        "graph diameter exceeds the dedup-shaped assumption; use a "
+        "star-contraction scheme for this input")
+
+
+def dedup_clusters(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", **lsh_kwargs) -> DataFrame:
+    """End-to-end near-dup clustering: MinHash-LSH pairs → connected
+    components → (id, component, keep) where ``keep`` marks the one
+    representative (min id) of each cluster. Docs in no pair are not
+    returned (they are trivially their own cluster)."""
+    pairs = minhash_lsh_dedup(df, id_col, text_col, **lsh_kwargs)
+    comps = connected_components(pairs)
+    return comps.select(
+        "id", "comp",
+        (F.col("id") == F.col("comp")).alias("keep"))
+
+
+# ---------------------------------------------------------------------------
 # incremental dedup against a persisted signature store
 # ---------------------------------------------------------------------------
 #

@@ -811,6 +811,56 @@ ORDER BY id_a, id_b
 """
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING, fully oracle-checked (round 6): the exact
+    J≥0.8 pair graph (same recall argument as `dedup_minhash_lsh`) run
+    through iterative min-label connected components. The oracle computes
+    the identical pair relation in SQL and closes it with a recursive CTE
+    — component ids (min reachable doc id) must match exactly, so a
+    propagation bug that merges or splits any cluster breaks the hash."""
+    from ..operators.dedup import connected_components, minhash_lsh_dedup
+    d = _documents(spark, sf_dir)
+    pairs = minhash_lsh_dedup(d, threshold=0.8, bands=32, rows=4,
+                              num_hashes=128, exact_grams=True,
+                              max_bucket=1_000_000)
+    return (connected_components(pairs)
+            .select(F.col("id").alias("doc_id"),
+                    F.col("comp").alias("component"))
+            .orderBy("doc_id"))
+
+
+ORACLE_COMPONENTS = r"""
+WITH RECURSIVE docs AS (
+  SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         substr(t, CAST(unnest(range(1, greatest(length(t) - 4, 1) + 1)) AS INT),
+                5) AS g
+  FROM docs
+), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ic
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b
+  FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(ic AS DOUBLE) / (sa.sz + sb.sz - ic) >= 0.8
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+)
+SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY 1
+ORDER BY doc_id
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup, FULLY oracle-checked (was rows-only in round 1):
     with the portable token hash the oracle recomputes every signature in
@@ -1373,6 +1423,7 @@ QUERIES = {
     "sessionize_events": q_sessionize_events,
     "topk_per_group": q_topk_per_group,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_components": q_dedup_components,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_incremental": q_dedup_incremental,
@@ -1419,6 +1470,7 @@ ORACLES = {
     "ann_ivf_topk": _ivf_oracle_sql(),
     "dedup_simhash": ORACLE_SIMHASH,
     "dedup_minhash_lsh": ORACLE_MINHASH,
+    "dedup_components": ORACLE_COMPONENTS,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "dedup_incremental": ORACLE_INCREMENTAL,
     "embedding_near_dups": _near_dup_oracle_sql(),

@@ -594,3 +594,42 @@ def test_embedding_near_dupes_skew_accounting(spark, embs):
     # uncapped form carries no accounting (and stays lazy/exact)
     exact = similarity.embedding_near_dupes(df, threshold=0.999, n_tables=8)
     assert exact.dropped_buckets is None
+
+
+def test_connected_components_chain_and_clusters(spark):
+    """Chain A-B-C must collapse to one component even though the A-C pair
+    is absent (the reason clustering exists); disjoint clusters stay
+    apart; keep-one marks exactly one representative per cluster."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3),          # chain -> component 1
+         (10, 11), (11, 12), (10, 12),  # triangle -> component 10
+         (20, 21)],               # pair -> component 20
+        "id_a long, id_b long")
+    got = {r.id: r.comp for r in dedup.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 12-node chain needs several propagation rounds — the loop must
+    iterate to convergence, and the hard stop must raise rather than
+    return a half-converged labeling."""
+    n = 12
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long")
+    got = {r.id: r.comp for r in dedup.connected_components(pairs).collect()}
+    assert got == {i: 0 for i in range(n + 1)}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iters=2)
+
+
+def test_dedup_clusters_keep_one(spark):
+    df = spark.createDataFrame(
+        [(i, "identical duplicate content here " * 6) for i in range(4)]
+        + [(10, "a completely different document " * 6),
+           (11, "a completely different document " * 6)],
+        "doc_id long, text string")
+    out = dedup.dedup_clusters(df, threshold=0.8, exact_grams=True).collect()
+    comps = {r.id: r.comp for r in out}
+    keeps = {r.id for r in out if r.keep}
+    assert comps == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10}
+    assert keeps == {0, 10}
