@@ -6,6 +6,10 @@
 - SimHash near-dup: token-hash bit votes → 64-bit signature → banded
   buckets → Hamming verification
 - n-gram Jaccard: the verification primitive, exposed standalone
+- clustering: pairs → connected components (min-label propagation) →
+  keep-one-per-cluster (``dedup_clusters``)
+- incremental dedup: persisted (optionally key-bucketed) signature store
+  probed by each day's batch — O(new batch) daily cost, never O(corpus)
 
 Scale design: signatures are computed with native higher-order array
 functions (transform/aggregate/zip_with — JVM codegen, no Python), so the
