@@ -625,6 +625,104 @@ FROM ratios
 """
 
 
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSITE training-data curation pass (round 6) — the operation
+    this operator library exists to serve, run end to end as ONE oracle-
+    gated query: global near-dup clustering (exact J≥0.8 pair graph →
+    connected components → keep each cluster's min id), then language
+    selection (en/de/fr) and a quality floor (865000 micros of the
+    composite score). Every piece is independently oracled elsewhere
+    (`dedup_components`, `quality_scores`); this query certifies their
+    COMPOSITION — join order, filter interaction, keeper semantics —
+    against a single SQL restatement."""
+    from ..operators.dedup import connected_components, minhash_lsh_dedup
+    from ..operators.textstats import quality_score_raw
+    d = _documents(spark, sf_dir)
+    pairs = minhash_lsh_dedup(d, threshold=0.8, bands=32, rows=4,
+                              num_hashes=128, exact_grams=True,
+                              max_bucket=1_000_000)
+    drop = (connected_components(pairs)
+            .filter(F.col("id") != F.col("comp"))
+            .select(F.col("id").alias("doc_id")))
+    return (d.join(drop, "doc_id", "left_anti")
+            .select("doc_id", "lang",
+                    F.round(quality_score_raw(F.col("text")) * 1e6)
+                    .cast("long").alias("quality_micros"))
+            .filter(F.col("lang").isin("en", "de", "fr"))
+            .filter(F.col("quality_micros") >= 865000)
+            .orderBy("doc_id"))
+
+
+ORACLE_CURATION = r"""
+WITH RECURSIVE ldocs AS (
+  SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         substr(t, CAST(unnest(range(1, greatest(length(t) - 4, 1) + 1)) AS INT),
+                5) AS g
+  FROM ldocs
+), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ic
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), prs AS (
+  SELECT id_a, id_b
+  FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(ic AS DOUBLE) / (sa.sz + sb.sz - ic) >= 0.8
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM prs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM prs
+), reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+), dropped AS (
+  SELECT id AS doc_id FROM reach GROUP BY id HAVING id != min(r)
+), feats AS (
+  SELECT doc_id, lang,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+           AS alpha,
+         CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+           AS punct,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                   x -> x IN ('the','a','of','and','to','in','is','it',
+                              'that','for'))) END AS stop
+  FROM documents
+), ratios AS (
+  SELECT doc_id, lang,
+         alpha / greatest(n_chars, 1.0::DOUBLE) AS alpha_ratio,
+         punct / greatest(n_chars, 1.0::DOUBLE) AS punct_ratio,
+         CAST(stop AS DOUBLE) / CAST(greatest(n_tok, 1) AS DOUBLE)
+           AS stopword_ratio,
+         n_chars / CAST(greatest(n_tok, 1) AS DOUBLE) AS mean_token_len
+  FROM feats
+), scored AS (
+  SELECT doc_id, lang,
+       CAST(round((0.4::DOUBLE * least(alpha_ratio / 0.7::DOUBLE, 1.0::DOUBLE)
+         + 0.2::DOUBLE * least(stopword_ratio / 0.2::DOUBLE, 1.0::DOUBLE)
+         + 0.2::DOUBLE * (1.0::DOUBLE
+                          - least(punct_ratio / 0.3::DOUBLE, 1.0::DOUBLE))
+         + 0.2::DOUBLE * (CASE WHEN mean_token_len >= 3 AND mean_token_len <= 12
+                          THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END))
+         * 1000000.0::DOUBLE) AS BIGINT) AS quality_micros
+  FROM ratios
+)
+SELECT doc_id, lang, quality_micros
+FROM scored
+WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+  AND lang IN ('en', 'de', 'fr')
+  AND quality_micros >= 865000
+ORDER BY doc_id
+"""
+
+
 def q_lang_id_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Confusion counts of the marker-lexicon language-ID vs the labeled
     lang column (Arrow-batched voting path; a pytest pins its parity with
@@ -1424,6 +1522,7 @@ QUERIES = {
     "topk_per_group": q_topk_per_group,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_components": q_dedup_components,
+    "corpus_curation": q_corpus_curation,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_incremental": q_dedup_incremental,
@@ -1471,6 +1570,7 @@ ORACLES = {
     "dedup_simhash": ORACLE_SIMHASH,
     "dedup_minhash_lsh": ORACLE_MINHASH,
     "dedup_components": ORACLE_COMPONENTS,
+    "corpus_curation": ORACLE_CURATION,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "dedup_incremental": ORACLE_INCREMENTAL,
     "embedding_near_dups": _near_dup_oracle_sql(),
