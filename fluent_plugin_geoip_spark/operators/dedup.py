@@ -322,8 +322,14 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str = "doc_id",
                          .alias("sig"))
     cands = lsh_candidate_pairs(sigs, "sig", bands=bands, rows=rows,
                                 max_bucket=max_bucket)
-    return ngram_jaccard_pairs(df, id_col, text_col, n, threshold,
-                               candidates=cands, exact_grams=exact_grams)
+    out = ngram_jaccard_pairs(df, id_col, text_col, n, threshold,
+                              candidates=cands, exact_grams=exact_grams)
+    # the verifier materialized its (persisted) result, so the candidate
+    # cache can be released here rather than leaking per invocation
+    # (round-7: found by the dedup_clusters cache-hygiene test). The
+    # RETURNED verified pairs stay persisted — caller owns unpersist().
+    cands.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -464,6 +470,26 @@ def simhash_dedup(df: DataFrame, id_col: str = "doc_id",
 # near-dup clustering: pairs → connected components → keep-one
 # ---------------------------------------------------------------------------
 
+def release_checkpoint(df: DataFrame) -> None:
+    """Free the cached blocks behind a ``localCheckpoint()``-ed DataFrame.
+
+    ``localCheckpoint`` materializes the plan into cached RDD blocks that
+    only driver GC would otherwise reclaim; an iterative operator that
+    checkpoints per round strands one block set per round (round-6 ADVICE
+    on :func:`connected_components`). The checkpointed RDD is reachable via
+    the analyzed ``LogicalRDD`` node. Best-effort: a DataFrame that is not
+    checkpoint-backed (no ``rdd()`` on its root) is left untouched.
+
+    WARNING: a locally-checkpointed RDD's lineage is truncated — after
+    release the DataFrame CANNOT be recomputed. Only call once fully done
+    with ``df`` and everything lazily derived from it.
+    """
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # not a LogicalRDD root — nothing to release
+        pass
+
+
 def connected_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     """(id_a, id_b) near-dup edges → (id, component) where ``component`` is
     the minimum doc id reachable through the pair graph — the clustering
@@ -483,6 +509,12 @@ def connected_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     DataFrame shape, fewer rounds; not needed for dedup-shaped graphs.
     ``max_iters`` is a hard stop that raises rather than returning a
     half-converged (silently wrong) labeling.
+
+    Cache hygiene: each round's checkpoint blocks are released as soon as
+    the next round is materialized, so at most two rounds' label sets are
+    ever resident. The RETURNED labels are checkpoint-backed — the caller
+    owns releasing them with :func:`release_checkpoint` once fully
+    consumed (after which they cannot be recomputed).
     """
     edges = (pairs.select(F.col("id_a").alias("src"),
                           F.col("id_b").alias("dst"))
@@ -510,10 +542,18 @@ def connected_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "id")
                    .filter(F.col("n.comp") != F.col("o.comp")).count())
+        # the new round is materialized (eager checkpoint) and the changed
+        # count was the last reader of the old round — release its blocks
+        # now instead of stranding one block set per round until driver GC
+        # (round-6 ADVICE)
+        release_checkpoint(labels)
         labels = new_labels
         if changed == 0:
             edges.unpersist()
+            # the returned labels are checkpoint-backed; the CALLER owns
+            # releasing them via release_checkpoint() once consumed
             return labels
+    release_checkpoint(labels)
     edges.unpersist()
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} rounds — "
@@ -529,9 +569,17 @@ def dedup_clusters(df: DataFrame, id_col: str = "doc_id",
     returned (they are trivially their own cluster)."""
     pairs = minhash_lsh_dedup(df, id_col, text_col, **lsh_kwargs)
     comps = connected_components(pairs)
-    return comps.select(
+    # materialize the (small — one row per clustered doc) result so every
+    # intermediate cache can be released before returning: the verified
+    # pairs (persisted by the verifier) and the component labels
+    # (checkpoint-backed). The caller owns out.unpersist() once consumed.
+    out = comps.select(
         "id", "comp",
-        (F.col("id") == F.col("comp")).alias("keep"))
+        (F.col("id") == F.col("comp")).alias("keep")).persist()
+    out.count()
+    release_checkpoint(comps)
+    pairs.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------

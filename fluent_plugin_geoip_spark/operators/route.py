@@ -433,6 +433,110 @@ def compact_sinks(spark, out_dir: str, route_col: str = "route_country",
     return {v: (before[v][0], after[v][0]) for v in todo}
 
 
+def _delete_path(spark, path_str: str, recursive: bool = True) -> None:
+    fs, p, _ = _fs_for(spark, path_str)
+    if fs.exists(p):
+        fs.delete(p, recursive)
+
+
+def compact_stream_sinks(spark, out_dir: str,
+                         route_col: str = "route_country",
+                         fmt: str = "parquet",
+                         through_batch: int | None = None,
+                         _crash_point: str | None = None) -> dict:
+    """Compact a STREAMING sink's ``data/batch_id=<n>/<route_col>=<c>/``
+    layout by folding finalized micro-batches into one batch partition —
+    the maintenance pass :func:`compact_sinks` cannot perform because the
+    streaming layout nests the route dirs one level down (round-6 ADVICE:
+    ``compact_sinks`` silently no-ops there).
+
+    Replay safety: Structured Streaming only ever re-delivers the LATEST
+    uncommitted micro-batch, so batches strictly below the newest on disk
+    are final. The default ``through_batch`` is ``max(batch_id) - 1``;
+    batches ≤ it are folded into partition ``batch_id=<max folded id>``,
+    so a replay of the newest batch still overwrites exactly its own
+    (untouched) partitions. Run while the stream is stopped, or leave the
+    default bound.
+
+    Crash safety (each step idempotent, resumed by the next call):
+      1. merged rows staged under ``_lineage/compact_stream_stage`` —
+         a crash here leaves the sink untouched (stale stage is garbage,
+         rebuilt next attempt);
+      2. an intent marker is atomically written (tmp + rename);
+      3. the staged rows dynamic-overwrite the target batch partition;
+      4. folded batch dirs (≠ target) are deleted; stage + marker last.
+    A re-invocation after any crash point finds the marker and finishes
+    steps 3-4 FROM THE STAGE (never re-reading possibly-half-folded batch
+    dirs, which would double rows).
+
+    Per-batch lineage files are left as written — they are append-only
+    history; ``stream_sink_counts`` totals are unchanged by moving data
+    between batch partitions (documented: lineage batch ids may outlive
+    their data dirs after compaction).
+
+    Returns ``{"folded": [...], "target": n}`` or ``{}`` when there is
+    nothing to do.
+    """
+    data_dir = f"{out_dir}/data"
+    stage = f"{out_dir}/{MANIFEST_DIR}/compact_stream_stage"
+    # finish any interrupted compaction before planning a new one
+    recovered = _finish_stream_compaction(spark, out_dir, route_col, fmt)
+    ids = sorted(int(v) for v in
+                 list_partition_values(spark, data_dir, "batch_id"))
+    if not ids:
+        return recovered or {}
+    limit = (max(ids) - 1) if through_batch is None else through_batch
+    fold = [i for i in ids if i <= limit]
+    if len(fold) < 2:
+        return recovered or {}
+    target = max(fold)
+    merged = (spark.read.format(fmt).load(data_dir)
+              .filter(F.col("batch_id").isin(fold)).drop("batch_id"))
+    _delete_path(spark, stage)
+    (merged.write.mode("overwrite").partitionBy(route_col).format(fmt)
+     .save(stage))
+    if _crash_point == "after_stage":   # test seam: simulated crash
+        return {}
+    _fs_write_text(
+        f"{out_dir}/{MANIFEST_DIR}/compact_stream_intent.json",
+        json.dumps({"folded": fold, "target": target}, sort_keys=True))
+    if _crash_point == "after_intent":  # test seam: simulated crash
+        return {}
+    return _finish_stream_compaction(spark, out_dir, route_col, fmt,
+                                     _crash_point=_crash_point)
+
+
+def _finish_stream_compaction(spark, out_dir: str, route_col: str,
+                              fmt: str,
+                              _crash_point: str | None = None) -> dict:
+    """Steps 3-4 of :func:`compact_stream_sinks`, driven solely by the
+    intent marker + stage — the resumable tail that never re-reads batch
+    dirs. No marker → no-op."""
+    data_dir = f"{out_dir}/data"
+    stage = f"{out_dir}/{MANIFEST_DIR}/compact_stream_stage"
+    intent_path = f"{out_dir}/{MANIFEST_DIR}/compact_stream_intent.json"
+    text = _fs_read_text(intent_path)
+    if text is None:
+        return {}
+    rec = json.loads(text)
+    fold, target = rec["folded"], rec["target"]
+    sfs, sp, _ = _fs_for(spark, stage)
+    if sfs.exists(sp):
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (spark.read.format(fmt).load(stage)
+         .withColumn("batch_id", F.lit(int(target)))
+         .write.mode("overwrite").partitionBy("batch_id", route_col)
+         .format(fmt).save(data_dir))
+    if _crash_point == "after_overwrite":  # test seam: simulated crash
+        return {}
+    for n in fold:
+        if n != target:
+            _delete_path(spark, f"{data_dir}/batch_id={n}")
+    _delete_path(spark, stage)
+    _delete_path(spark, intent_path, recursive=False)
+    return {"folded": fold, "target": target}
+
+
 def per_sink_counts(out_dir: str, route_col: str = "route_country",
                     fmt: str = "parquet"):
     """Recount rows per sink directly from the written sinks (the routed-row

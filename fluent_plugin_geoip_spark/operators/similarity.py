@@ -34,6 +34,29 @@ from pyspark.sql import DataFrame, Window, functions as F, types as T
 log = logging.getLogger(__name__)
 
 
+from dataclasses import dataclass
+
+
+@dataclass
+class CappedPairs:
+    """Result of a skew-capped pair search: the verified pairs plus the
+    number of over-full buckets the cap dropped (whose pairs are NOT in
+    ``pairs``). Returned instead of monkey-patching an attribute onto the
+    DataFrame (round-6 ADVICE: a dynamic attribute vanishes on any
+    transformation and is invisible to non-Python callers).
+
+    ``pairs`` is PERSISTED (materialized eagerly so the cap accounting is
+    exact under AQE) — the caller owns releasing it via :meth:`unpersist`
+    once consumed."""
+
+    pairs: DataFrame
+    dropped_buckets: int
+
+    def unpersist(self) -> "CappedPairs":
+        self.pairs.unpersist()
+        return self
+
+
 def _normalize(mat: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
@@ -256,21 +279,25 @@ def embedding_near_dupes(df: DataFrame, threshold: float = 0.95,
                          seed: int = 42,
                          use_pandas_sig: bool = True,
                          dim: int | None = None,
-                         max_bucket: int | None = None) -> DataFrame:
+                         max_bucket: int | None = None
+                         ) -> "DataFrame | CappedPairs":
     """Near-duplicate embedding pairs (cosine ≥ threshold) via LSH blocking.
-    Returns (id_a, id_b, cosine).
+    Pair columns: (id_a, id_b, cosine).
 
     Plan shape (round 4): one all-tables signature crossing, intra-bucket
     pair expansion on collected id lists (the minhash pattern — no
     vector-carrying self-join), exact cosine only on deduplicated
-    candidates. ``max_bucket`` (optional) drops over-full buckets — logged,
-    and the count is carried on the returned DataFrame as
-    ``dropped_buckets`` — at web scale a degenerate bucket (e.g. an
-    all-zeros embedding cloud) would otherwise emit O(n²) pairs; the capped
-    form materializes its result eagerly; None keeps exact blocking
-    semantics and stays lazy
-    (what the oracle-gated query uses). Pass ``dim`` to skip the fallback
-    one-row probe job that otherwise infers the vector length."""
+    candidates.
+
+    ``max_bucket=None`` (the oracle-gated form) keeps exact blocking
+    semantics, stays lazy, and returns the plain pairs DataFrame.
+    ``max_bucket=N`` drops over-full buckets — at web scale a degenerate
+    bucket (e.g. an all-zeros embedding cloud) would otherwise emit O(n²)
+    pairs — and returns a :class:`CappedPairs` carrying the dropped-bucket
+    count alongside the (eagerly materialized, persisted) pairs; the
+    caller owns releasing them via ``CappedPairs.unpersist()``. Pass
+    ``dim`` to skip the fallback one-row probe job that otherwise infers
+    the vector length."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     planes_list = [_hyperplanes(dim, nbits, seed + 1000 * t)
@@ -324,7 +351,7 @@ def embedding_near_dupes(df: DataFrame, threshold: float = 0.95,
         result = result.persist()
         result.count()
         cached_buckets.unpersist()
-    result.dropped_buckets = dropped  # None unless max_bucket was set
+        return CappedPairs(pairs=result, dropped_buckets=dropped)
     return result
 
 

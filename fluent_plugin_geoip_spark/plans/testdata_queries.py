@@ -635,22 +635,32 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`dedup_components`, `quality_scores`); this query certifies their
     COMPOSITION — join order, filter interaction, keeper semantics —
     against a single SQL restatement."""
-    from ..operators.dedup import connected_components, minhash_lsh_dedup
+    from ..operators.dedup import (
+        connected_components, minhash_lsh_dedup, release_checkpoint,
+    )
     from ..operators.textstats import quality_score_raw
     d = _documents(spark, sf_dir)
     pairs = minhash_lsh_dedup(d, threshold=0.8, bands=32, rows=4,
                               num_hashes=128, exact_grams=True,
                               max_bucket=1_000_000)
-    drop = (connected_components(pairs)
+    comps = connected_components(pairs)
+    drop = (comps
             .filter(F.col("id") != F.col("comp"))
             .select(F.col("id").alias("doc_id")))
-    return (d.join(drop, "doc_id", "left_anti")
-            .select("doc_id", "lang",
-                    F.round(quality_score_raw(F.col("text")) * 1e6)
-                    .cast("long").alias("quality_micros"))
-            .filter(F.col("lang").isin("en", "de", "fr"))
-            .filter(F.col("quality_micros") >= 865000)
-            .orderBy("doc_id"))
+    out = (d.join(drop, "doc_id", "left_anti")
+           .select("doc_id", "lang",
+                   F.round(quality_score_raw(F.col("text")) * 1e6)
+                   .cast("long").alias("quality_micros"))
+           .filter(F.col("lang").isin("en", "de", "fr"))
+           .filter(F.col("quality_micros") >= 865000)
+           .orderBy("doc_id"))
+    # materialize the (small) survivor list so the verified-pairs cache and
+    # the checkpoint-backed labels are released PER INVOCATION — repeated
+    # bench/driver runs in one session must not accumulate cached blocks
+    res = spark.createDataFrame(out.collect(), out.schema)
+    release_checkpoint(comps)
+    pairs.unpersist()
+    return res
 
 
 ORACLE_CURATION = r"""
@@ -916,15 +926,23 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical pair relation in SQL and closes it with a recursive CTE
     — component ids (min reachable doc id) must match exactly, so a
     propagation bug that merges or splits any cluster breaks the hash."""
-    from ..operators.dedup import connected_components, minhash_lsh_dedup
+    from ..operators.dedup import (
+        connected_components, minhash_lsh_dedup, release_checkpoint,
+    )
     d = _documents(spark, sf_dir)
     pairs = minhash_lsh_dedup(d, threshold=0.8, bands=32, rows=4,
                               num_hashes=128, exact_grams=True,
                               max_bucket=1_000_000)
-    return (connected_components(pairs)
-            .select(F.col("id").alias("doc_id"),
-                    F.col("comp").alias("component"))
-            .orderBy("doc_id"))
+    comps = connected_components(pairs)
+    out = (comps
+           .select(F.col("id").alias("doc_id"),
+                   F.col("comp").alias("component"))
+           .orderBy("doc_id"))
+    # materialize + release per invocation (see q_corpus_curation)
+    res = spark.createDataFrame(out.collect(), out.schema)
+    release_checkpoint(comps)
+    pairs.unpersist()
+    return res
 
 
 ORACLE_COMPONENTS = r"""

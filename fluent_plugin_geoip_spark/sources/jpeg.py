@@ -353,13 +353,24 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     scan: list[tuple[int, int, int]] = []    # (component id, td, ta)
     data_at = -1
 
-    while pos + 4 <= len(payload):
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
+        # spec-legal fill: any run of 0xFF bytes may pad before the marker
+        # byte (ITU T.81 §B.1.1.2) — real web-crawl JPEGs use this
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(payload):
+            break
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:                    # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # standalone markers (TEM, stray RSTn) carry no length field
+            continue
+        if pos + 2 > len(payload):
+            raise ValueError("truncated JPEG segment")
         length = struct.unpack(">H", payload[pos:pos + 2])[0]
         if pos + length > len(payload):
             raise ValueError("truncated JPEG segment")

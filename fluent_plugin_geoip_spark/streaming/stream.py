@@ -83,8 +83,11 @@ def make_batch_handler(out_dir: str, salt_buckets: int = 8,
     (default) lets AQE size the per-batch write partitions — micro-batches
     are small, so this typically lands ONE file per (batch, country)
     instead of up to ``salt_buckets``; ``"salt"`` keeps the static salted
-    repartition. Long-running streams should still compact periodically
-    (``operators.route.compact_sinks``)."""
+    repartition. Long-running streams should still compact periodically —
+    with ``operators.route.compact_stream_sinks``, which understands this
+    handler's ``batch_id=<n>/route_country=<c>`` nesting and preserves
+    replay idempotency (``compact_sinks`` expects the flat batch layout
+    and would no-op here)."""
     lineage_dir = f"{out_dir}/_lineage/batches"
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:

@@ -113,3 +113,27 @@ def test_jpeg_spark_decode_matches_formula(spark):
         r = out[mid]
         assert (r.width, r.height) == (16, 16)
         assert r.sum_r == r.sum_g == r.sum_b == int(px[:, :, 0].sum())
+
+
+def test_fill_bytes_and_standalone_markers_tolerated():
+    """Spec-legal inter-segment padding (runs of 0xFF before a marker,
+    ITU T.81 B.1.1.2) and standalone markers (TEM 0xFF01, stray RSTn)
+    must parse transparently — real web-crawl JPEGs contain both
+    (round-6 ADVICE: these previously misparsed as length-prefixed
+    segments)."""
+    px = _block_gray(99)
+    enc = encode_jpeg(px, quality=100)
+    # inject after SOI: fill bytes, a TEM, more fill, a stray RST3
+    doctored = (enc[:2]
+                + b"\xff\xff\xff"          # fill run, next marker reads APP0
+                + b"\xff\x01"              # TEM (standalone)
+                + b"\xff\xff\xd3"          # fill + stray RST3 (standalone)
+                + enc[2:])
+    assert np.array_equal(decode_jpeg(doctored), px)
+
+
+def test_truncated_after_fill_still_clean_error():
+    px = _block_gray(5)
+    enc = encode_jpeg(px, quality=100)
+    with pytest.raises((ValueError, NotImplementedError)):
+        decode_jpeg(enc[:2] + b"\xff\xff")

@@ -352,3 +352,77 @@ def test_incremental_dedup_handler_crash_replay(spark, tmp_path):
     h(b1, 1)
     assert spark.read.parquet(store).count() == s0 + 16
     assert spark.read.parquet(docs).count() == d0 + 1
+
+
+def _stream_state(spark, out):
+    """(total rows, per-country counts, batch dirs) of a streaming sink."""
+    from fluent_plugin_geoip_spark.operators.route import (
+        list_partition_values,
+    )
+    df = spark.read.parquet(f"{out}/data")
+    per = {r.route_country: r.n for r in
+           df.groupBy("route_country").agg(F.count("*").alias("n")).collect()}
+    batches = sorted(int(v) for v in
+                     list_partition_values(spark, f"{out}/data", "batch_id"))
+    return df.count(), per, batches
+
+
+def test_compact_stream_sinks_folds_finalized_batches(spark, tmp_path):
+    """compact_stream_sinks must fold batches ≤ max-1 into one batch
+    partition with rows, per-country counts, and lineage totals all
+    preserved — and leave the newest batch replayable (round-6 ADVICE:
+    compact_sinks silently no-ops on the streaming layout)."""
+    from fluent_plugin_geoip_spark.operators.route import (
+        compact_sinks, compact_stream_sinks,
+    )
+    from fluent_plugin_geoip_spark.streaming.stream import make_batch_handler
+    out = str(tmp_path / "sink")
+    enriched = GeoipPipeline(spark).enrich(generate_pages(spark, 400))
+    handler = make_batch_handler(out, salt_buckets=4)
+    for b in range(4):
+        handler(enriched.filter(F.crc32(F.col("url")) % 4 == b), b)
+    total0, per0, batches0 = _stream_state(spark, out)
+    lineage0 = stream_sink_counts(out)
+    assert batches0 == [0, 1, 2, 3]
+    # the flat-layout compactor must NOT silently no-op claim success here
+    assert compact_sinks(spark, f"{out}/data") == {}
+
+    res = compact_stream_sinks(spark, out)
+    assert res == {"folded": [0, 1, 2], "target": 2}
+    total1, per1, batches1 = _stream_state(spark, out)
+    assert (total1, per1) == (total0, per0)
+    assert batches1 == [2, 3]
+    assert stream_sink_counts(out) == lineage0  # lineage history untouched
+    # idempotent: nothing further to fold (only [2] is below the newest)
+    assert compact_stream_sinks(spark, out) == {}
+    # the newest batch is still replay-idempotent after compaction
+    handler(enriched.filter(F.crc32(F.col("url")) % 4 == 3), 3)
+    assert _stream_state(spark, out)[:2] == (total0, per0)
+
+
+@pytest.mark.parametrize("crash", ["after_stage", "after_intent",
+                                   "after_overwrite"])
+def test_compact_stream_sinks_crash_replay(spark, tmp_path, crash):
+    """A crash at ANY protocol point must leave the sink either untouched
+    or resumable: the next compact_stream_sinks call converges to the
+    same folded state with no lost or duplicated rows."""
+    from fluent_plugin_geoip_spark.operators.route import (
+        compact_stream_sinks,
+    )
+    from fluent_plugin_geoip_spark.streaming.stream import make_batch_handler
+    out = str(tmp_path / "sink")
+    enriched = GeoipPipeline(spark).enrich(generate_pages(spark, 300))
+    handler = make_batch_handler(out, salt_buckets=4)
+    for b in range(3):
+        handler(enriched.filter(F.crc32(F.col("url")) % 3 == b), b)
+    total0, per0, _ = _stream_state(spark, out)
+
+    compact_stream_sinks(spark, out, _crash_point=crash)   # simulated crash
+    # rows are never lost mid-protocol (pre-overwrite points leave the
+    # sink untouched; post-overwrite leaves target folded + stale dirs
+    # that only the finisher may remove)
+    res = compact_stream_sinks(spark, out)                 # recovery
+    assert res.get("target") == 1 and res.get("folded") == [0, 1]
+    total1, per1, batches1 = _stream_state(spark, out)
+    assert (total1, per1) == (total0, per0)
+    assert batches1 == [1, 2]

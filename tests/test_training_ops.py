@@ -201,13 +201,15 @@ def test_embedding_near_dupes_bucket_cap(spark, embs):
     df = embs.unionByName(spark.createDataFrame(planted, embs.schema))
     capped = similarity.embedding_near_dupes(
         df, threshold=0.999, n_tables=8, max_bucket=1)
-    assert capped.count() == 0
+    assert capped.pairs.count() == 0
     # a generous cap changes nothing vs exact blocking
     wide = similarity.embedding_near_dupes(
         df, threshold=0.999, n_tables=8, max_bucket=10_000)
     exact = similarity.embedding_near_dupes(df, threshold=0.999, n_tables=8)
-    assert ({(r.id_a, r.id_b) for r in wide.collect()}
+    assert ({(r.id_a, r.id_b) for r in wide.pairs.collect()}
             == {(r.id_a, r.id_b) for r in exact.collect()})
+    capped.unpersist()
+    wide.unpersist()
 
 
 # ---------------------------------------------------------------------------
@@ -589,11 +591,18 @@ def test_embedding_near_dupes_skew_accounting(spark, embs):
     df = embs.unionByName(spark.createDataFrame(planted, embs.schema))
     capped = similarity.embedding_near_dupes(
         df, threshold=0.999, n_tables=8, max_bucket=1)
-    assert capped.count() == 0
-    assert capped.dropped_buckets and capped.dropped_buckets > 0
-    # uncapped form carries no accounting (and stays lazy/exact)
+    assert isinstance(capped, similarity.CappedPairs)
+    assert capped.pairs.count() == 0
+    assert capped.dropped_buckets > 0
+    # the accounting survives transformations of the pairs (the round-6
+    # dynamic-attribute form did not)
+    assert capped.pairs.select("id_a").count() == 0
+    assert capped.dropped_buckets > 0
+    capped.unpersist()
+    # uncapped form carries no accounting (and stays a lazy/exact DataFrame)
     exact = similarity.embedding_near_dupes(df, threshold=0.999, n_tables=8)
-    assert exact.dropped_buckets is None
+    from pyspark.sql import DataFrame as _DF
+    assert isinstance(exact, _DF)
 
 
 def test_connected_components_chain_and_clusters(spark):
@@ -622,14 +631,42 @@ def test_connected_components_long_chain_converges(spark):
         dedup.connected_components(pairs, max_iters=2)
 
 
+def test_connected_components_releases_round_checkpoints(spark):
+    """Each propagation round's localCheckpoint blocks must be released as
+    the next round materializes (round-6 ADVICE: every round stranded a
+    block set until driver GC) — at most the RETURNED labels' checkpoint
+    may outlive the call, and release_checkpoint frees that too."""
+    jsc = spark.sparkContext._jsc.sc()
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "id_a long, id_b long")
+    before = jsc.getPersistentRDDs().size()
+    labels = dedup.connected_components(pairs)   # ≥ 10 rounds on a chain
+    assert jsc.getPersistentRDDs().size() <= before + 1
+    assert labels.count() == 11
+    dedup.release_checkpoint(labels)
+    assert jsc.getPersistentRDDs().size() <= before
+    # the convergence-failure path must not strand its rounds either
+    with pytest.raises(RuntimeError):
+        dedup.connected_components(pairs, max_iters=2)
+    assert jsc.getPersistentRDDs().size() <= before
+
+
 def test_dedup_clusters_keep_one(spark):
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
     df = spark.createDataFrame(
         [(i, "identical duplicate content here " * 6) for i in range(4)]
         + [(10, "a completely different document " * 6),
            (11, "a completely different document " * 6)],
         "doc_id long, text string")
-    out = dedup.dedup_clusters(df, threshold=0.8, exact_grams=True).collect()
+    clustered = dedup.dedup_clusters(df, threshold=0.8, exact_grams=True)
+    out = clustered.collect()
     comps = {r.id: r.comp for r in out}
     keeps = {r.id for r in out if r.keep}
     assert comps == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10}
     assert keeps == {0, 10}
+    # every intermediate (pairs, labels) was released inside dedup_clusters;
+    # only the returned (caller-owned) result may remain
+    assert jsc.getPersistentRDDs().size() <= before + 1
+    clustered.unpersist()
+    assert jsc.getPersistentRDDs().size() <= before
