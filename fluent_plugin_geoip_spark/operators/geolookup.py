@@ -452,6 +452,62 @@ class GeoDatabase:
         return pd.DataFrame(out)
 
 
+def expanded_bucket_table(spark, db: GeoDatabase, attr_paths: list[str],
+                          shift: int = 16):
+    """The range table expanded into IP-prefix buckets for the all-JVM
+    enrich path (``GeoipEnricher(strategy="jvm_join")``).
+
+    A plain range join (``ip BETWEEN start AND end``) has no equi key, so
+    Spark would plan BroadcastNestedLoopJoin — O(rows × ranges). Bucketing
+    by the high ``32-shift`` address bits manufactures one: every range is
+    emitted once per prefix bucket it intersects, and the probe joins on
+    ``bucket == ip >> shift`` (BroadcastHashJoin) with the BETWEEN as a
+    join filter. Within one bucket the pieces inherit the table's
+    non-overlap, so at most one range matches and a left join preserves
+    row count.
+
+    The expansion is PROVABLY bounded: a range spanning k buckets emits k
+    rows, and since ranges are disjoint, Σ(k_i − 1) ≤ 2^(32−shift) — the
+    expanded table has at most ``len(ranges) + 2^(32−shift)`` rows
+    (+65 536 at the default /16 split), independent of how pathological
+    the range layout is. A real city DB (~3M ranges) expands by < 3%.
+
+    Returns a DataFrame with ``__gb`` (bucket), ``__gs``/``__ge`` (range
+    bounds) and one correctly-typed column per sanitized attr path (null
+    column for paths the DB lacks). One-time driver cost is O(expanded
+    rows) — the same class as parsing the database file itself.
+    """
+    n = len(db.starts)
+    b0 = (db.starts >> shift).astype(np.int64)
+    b1 = (db.ends >> shift).astype(np.int64)
+    counts = (b1 - b0 + 1) if n else np.zeros(0, dtype=np.int64)
+    idx = np.repeat(np.arange(n), counts)
+    # bucket value = b0[i] + offset within its repeat run
+    offs = np.arange(len(idx)) - np.repeat(np.cumsum(counts) - counts, counts)
+    buckets = (b0[idx] + offs).tolist()
+
+    def attr_values(p: str) -> list:
+        arr = db.attrs.get(p)
+        if arr is None:
+            return [None] * len(idx)
+        # NaN → None here: the join output must carry SQL nulls for
+        # missing doubles exactly like the Arrow lookup path (a NaN
+        # latitude would defeat the lat/lon 0.0-coalesce default, F7)
+        return [None if v is None or (isinstance(v, float) and np.isnan(v))
+                else (v.item() if isinstance(v, np.generic) else v)
+                for v in arr[idx]]
+
+    schema = T.StructType(
+        [T.StructField("__gb", T.LongType(), False),
+         T.StructField("__gs", T.LongType(), False),
+         T.StructField("__ge", T.LongType(), False)]
+        + [T.StructField(sanitize_attr(p), _SPARK_TYPES[db.attr_type(p)], True)
+           for p in attr_paths])
+    rows = list(zip(buckets, db.starts[idx].tolist(), db.ends[idx].tolist(),
+                    *[attr_values(p) for p in attr_paths]))
+    return spark.createDataFrame(rows, schema=schema)
+
+
 def lookup_struct_type(db: GeoDatabase, attr_paths: list[str]) -> T.StructType:
     fields = [T.StructField("__hit__", T.BooleanType(), False)]
     for p in attr_paths:

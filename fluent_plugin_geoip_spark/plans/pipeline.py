@@ -64,7 +64,14 @@ class GeoipPipeline:
                  records: dict[str, str] | None = None,
                  skip_adding_null_record: bool = False,
                  asn_database: GeoDatabase | None = None,
-                 enable_asn: bool = False):
+                 enable_asn: bool = False,
+                 enrich_strategy: str = "auto"):
+        # enrich_strategy: "auto" (default) picks per database —
+        # "jvm_join" (broadcast prefix-bucket join; zero Python workers —
+        # measured 1.75× the Arrow kernel on the compute leg, round 7)
+        # for v4-only DBs, "arrow" (pandas-UDF searchsorted; the only
+        # kernel supporting a v6 table) otherwise. Both are pinned equal
+        # by the reference differential and a shared oracle query.
         self.spark = spark
         self.db = database or world_db()
         cfg = GeoipConfig(
@@ -72,14 +79,22 @@ class GeoipPipeline:
             records=dict(records or FLAGSHIP_RECORDS),
             skip_adding_null_record=skip_adding_null_record,
         )
-        self.enricher = GeoipEnricher(spark, cfg, self.db)
+
+        def resolve(db: GeoDatabase) -> str:
+            if enrich_strategy == "auto":
+                return "arrow" if db.has_ipv6 else "jvm_join"
+            return enrich_strategy
+
+        self.enricher = GeoipEnricher(spark, cfg, self.db,
+                                      strategy=resolve(self.db))
         self.asn_enricher = None
         if enable_asn:
             from ..sources.fixtures import asn_db
+            adb = asn_database or asn_db()
             asn_cfg = GeoipConfig(lookup_keys=["client_ip"],
                                   records=dict(ASN_RECORDS))
             self.asn_enricher = GeoipEnricher(
-                spark, asn_cfg, asn_database or asn_db())
+                spark, asn_cfg, adb, strategy=resolve(adb))
 
     def enrich(self, pages: DataFrame) -> DataFrame:
         parsed = parse_pages(pages)

@@ -81,9 +81,10 @@ def _with_ip(df: DataFrame) -> DataFrame:
 
 
 def _enricher(spark: SparkSession, records: dict[str, str],
-              lookup_keys: list[str] | None = None, **kw) -> GeoipEnricher:
+              lookup_keys: list[str] | None = None,
+              strategy: str = "arrow", **kw) -> GeoipEnricher:
     cfg = GeoipConfig(lookup_keys=lookup_keys or ["ip"], records=records, **kw)
-    return GeoipEnricher(spark, cfg, world_db())
+    return GeoipEnricher(spark, cfg, world_db(), strategy=strategy)
 
 
 # ---------------------------------------------------------------------------
@@ -126,6 +127,20 @@ FROM (SELECT event_id, {_ip_int_sql('event_id')} AS ip_int FROM events) e
 LEFT JOIN {world_ranges_values_sql()}
   ON e.ip_int BETWEEN r.range_start AND r.range_end
 """
+
+
+# J1 all-JVM variant (round 7): the SAME value-level enrichment through
+# strategy="jvm_join" — the broadcast-hash prefix-bucket join that keeps
+# the whole probe inside WholeStageCodegen (zero Python workers). Identical
+# oracle: the two strategies must be indistinguishable at value level.
+def q_geoip_jvm_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _with_ip(_events(spark, sf_dir))
+    enr = _enricher(spark, {
+        "city": "${city.names.en['ip']}",
+        "latitude": "${location.latitude['ip']}",
+        "latlon": "${location.latitude['ip']},${location.longitude['ip']}",
+    }, strategy="jvm_join")
+    return enr.transform(df).select("event_id", "city", "latitude", "latlon")
 
 
 # J2: multi-key lookup → origin/dest country matrix
@@ -1515,6 +1530,7 @@ ORDER BY id_a, id_b
 QUERIES = {
     "geoip_enrich_country_counts": q_geoip_enrich_country_counts,
     "geoip_enrich_values": q_geoip_enrich_values,
+    "geoip_jvm_enrich": q_geoip_jvm_enrich,
     "geoip_multi_key": q_geoip_multi_key,
     "geoip_route_counts": q_geoip_route_counts,
     "geoip_skip_null": q_geoip_skip_null,
@@ -1557,6 +1573,7 @@ QUERIES = {
 ORACLES = {
     "geoip_enrich_country_counts": ORACLE_ENRICH_COUNTRY,
     "geoip_enrich_values": ORACLE_ENRICH_VALUES,
+    "geoip_jvm_enrich": ORACLE_ENRICH_VALUES,
     "geoip_multi_key": ORACLE_MULTI_KEY,
     "geoip_route_counts": ORACLE_ROUTE_COUNTS,
     "geoip_skip_null": ORACLE_SKIP_NULL,

@@ -108,6 +108,42 @@ def test_spark_matches_reference_interpreter(spark, records, skip, hosts):
         assert got == expected, (records, skip, h1, h2, got, expected)
 
 
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(records=records_cfg,
+       skip=st.booleans(),
+       hosts=st.lists(st.tuples(st.sampled_from(IPS), st.sampled_from(IPS)),
+                      min_size=1, max_size=8, unique=True))
+def test_jvm_join_matches_reference_interpreter(spark, records, skip, hosts):
+    """The all-JVM broadcast-join strategy (round 7) must satisfy the SAME
+    reference differential as the Arrow kernel — template modes, quoting,
+    skip semantics, miss/garbage handling included — proving the two
+    strategies interchangeable on any v4 config."""
+    cfg = GeoipConfig(lookup_keys=["host", "host2"], records=records,
+                      skip_adding_null_record=skip)
+    try:
+        enr = GeoipEnricher(spark, cfg, geoip2_city_db(),
+                            strategy="jvm_join")
+    except GeoipConfigError:
+        return
+
+    ref = RefGeoipFilter(["host", "host2"], records, RANGES,
+                         skip_adding_null_record=skip)
+    schema = T.StructType([T.StructField("host", T.StringType()),
+                           T.StructField("host2", T.StringType())])
+    df = spark.createDataFrame(list(hosts), schema)
+    out_rows = [r.asDict(recursive=True) for r in enr.transform(df).collect()]
+    for (h1, h2), got in zip(hosts, out_rows):
+        expected = ref.filter({"host": h1, "host2": h2})
+        skipped = got.pop(SKIP_FLAG, False)
+        if skipped:
+            for k in records:
+                assert got.get(k) is None, (records, h1, h2, got)
+                got.pop(k, None)
+                expected.pop(k, None)
+        assert got == expected, (records, skip, h1, h2, got, expected)
+
+
 ipv4ish = st.one_of(
     st.from_regex(r"\d{1,4}\.\d{1,4}\.\d{1,4}\.\d{1,4}", fullmatch=True),
     st.text(alphabet="0123456789. abc", max_size=18),
