@@ -627,8 +627,11 @@ def test_connected_components_long_chain_converges(spark):
         [(i, i + 1) for i in range(n)], "id_a long, id_b long")
     got = {r.id: r.comp for r in dedup.connected_components(pairs).collect()}
     assert got == {i: 0 for i in range(n + 1)}
+    # the strict single-algorithm contract still raises rather than
+    # returning a half-converged labeling
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup.connected_components(pairs, max_iters=2)
+        dedup.connected_components(pairs, max_iters=2,
+                                   algorithm="label_prop")
 
 
 def test_connected_components_releases_round_checkpoints(spark):
@@ -647,7 +650,8 @@ def test_connected_components_releases_round_checkpoints(spark):
     assert jsc.getPersistentRDDs().size() <= before
     # the convergence-failure path must not strand its rounds either
     with pytest.raises(RuntimeError):
-        dedup.connected_components(pairs, max_iters=2)
+        dedup.connected_components(pairs, max_iters=2,
+                                   algorithm="label_prop")
     assert jsc.getPersistentRDDs().size() <= before
 
 
@@ -670,3 +674,80 @@ def test_dedup_clusters_keep_one(spark):
     assert jsc.getPersistentRDDs().size() <= before + 1
     clustered.unpersist()
     assert jsc.getPersistentRDDs().size() <= before
+
+
+def test_star_components_matches_label_prop_on_random_graphs(spark):
+    """The large-star/small-star contraction (round 7) must produce the
+    EXACT min-id component labeling label propagation produces, on graphs
+    of every shape the generator throws — cliques, chains, singleton
+    pairs, crossing edges."""
+    import random
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 60
+        raw = {(rng.randrange(n), rng.randrange(n)) for _ in range(45)}
+        edges = [(a, b) for a, b in raw if a != b]
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        lp = dedup.connected_components(pairs, algorithm="label_prop")
+        st = dedup.connected_components(pairs, algorithm="star")
+        assert ({r.id: r.comp for r in st.collect()}
+                == {r.id: r.comp for r in lp.collect()}), trial
+        dedup.release_checkpoint(lp)
+        dedup.release_checkpoint(st)
+
+
+def test_star_handles_adversarial_chain_in_log_rounds(spark):
+    """A 200-node path graph (diameter 200) — label propagation would need
+    200 rounds; star contraction must finish within the O(log n) budget
+    that would make label_prop raise."""
+    n = 200
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long")
+    labels = dedup.connected_components(pairs, max_iters=15,
+                                        algorithm="star")
+    got = {r.id: r.comp for r in labels.collect()}
+    assert got == {i: 0 for i in range(n + 1)}
+    dedup.release_checkpoint(labels)
+
+
+def test_auto_falls_back_to_star_instead_of_raising(spark):
+    """algorithm='auto' (the new default): when label propagation hits its
+    round budget on a long chain, the operator must fall back to star
+    contraction and return the correct labeling (round-6 VERDICT item 6)."""
+    n = 40
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long")
+    labels = dedup.connected_components(pairs, max_iters=3)
+    got = {r.id: r.comp for r in labels.collect()}
+    assert got == {i: 0 for i in range(n + 1)}
+    dedup.release_checkpoint(labels)
+
+
+def test_cluster_table_reuse_across_curation_passes(spark, tmp_path):
+    """Round-6 VERDICT item 2: pair generation runs ONCE; the persisted
+    cluster table then drives any number of curation passes via
+    apply_cluster_keep, each a plain anti-join with NO LSH recomputation
+    (plan contains no Python crossing), and the composition equals the
+    recompute-from-scratch result."""
+    docs = spark.createDataFrame(
+        [(i, "identical duplicate content here " * 6,
+          "en" if i % 2 == 0 else "de") for i in range(4)]
+        + [(10, "a completely different document " * 6, "en"),
+           (11, "a completely different document " * 6, "fr"),
+           (20, "unique single doc with its own words " * 6, "en")],
+        "doc_id long, text string, lang string")
+    clusters = dedup.dedup_clusters(docs, threshold=0.8, exact_grams=True)
+    table = str(tmp_path / "clusters")
+    clusters.write.parquet(table)          # the persisted cluster state
+    clusters.unpersist()
+
+    persisted = spark.read.parquet(table)
+    pass_en = dedup.apply_cluster_keep(docs, persisted) \
+        .filter(F.col("lang") == "en")
+    pass_all = dedup.apply_cluster_keep(docs, persisted)
+    assert {r.doc_id for r in pass_all.collect()} == {0, 10, 20}
+    assert {r.doc_id for r in pass_en.collect()} == {0, 10, 20}
+    # the curation pass itself never re-runs LSH: no Python crossing
+    plan = pass_en._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "EvalPython" not in plan
+    assert "FlatMapsInPandas" not in plan and "MapInPandas" not in plan
