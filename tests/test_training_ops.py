@@ -490,6 +490,50 @@ def test_incremental_dedup_against_store(spark, tmp_path):
     assert all(a >= 10 or b >= 10 for a, b in pairs)
 
 
+def test_incremental_store_layout_hint(spark, tmp_path, caplog, monkeypatch):
+    """Round-7 (VERDICT item 4): the probe logs a wrong-sided-layout hint —
+    plain store above the measured crossover suggests bucketing; a tiny
+    bucketed store suggests the plain path; right-sided layouts stay
+    silent. Metadata-only (one getContentSummary), never plan-changing."""
+    import logging
+
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "other text entirely about something else " * 5)],
+        "doc_id long, text string")
+    new = spark.createDataFrame([(10, base)], "doc_id long, text string")
+
+    plain = str(tmp_path / "plain")
+    dedup.write_signature_store(corpus, plain, bands=32, rows=4)
+    # a few-KB store: right-sided for plain → silent
+    with caplog.at_level(logging.INFO, logger=dedup.__name__):
+        dedup.incremental_minhash_dedup(
+            new, corpus, plain, bands=32, rows=4, threshold=0.6,
+            exact_grams=True).count()
+    assert "crossover" not in caplog.text
+    # same store, crossover lowered beneath it → "go bucketed" hint
+    monkeypatch.setattr(dedup, "BUCKETED_STORE_CROSSOVER_BYTES", 1)
+    with caplog.at_level(logging.INFO, logger=dedup.__name__):
+        dedup.incremental_minhash_dedup(
+            new, corpus, plain, bands=32, rows=4, threshold=0.6,
+            exact_grams=True).count()
+    assert "bucket_by" in caplog.text
+
+    # tiny BUCKETED store with a realistic crossover → "go plain" hint
+    monkeypatch.setattr(dedup, "BUCKETED_STORE_CROSSOVER_BYTES",
+                        64 * 1024 * 1024)
+    bdir = str(tmp_path / "bucketed")
+    table = dedup.write_signature_store(
+        corpus, bdir, bands=32, rows=4, bucket_by=4, table="t_hint_store")
+    caplog.clear()
+    with caplog.at_level(logging.INFO, logger=dedup.__name__):
+        dedup.incremental_minhash_dedup(
+            new, corpus, bdir, bands=32, rows=4, threshold=0.6,
+            exact_grams=True, store_table=table).count()
+    assert "probes faster" in caplog.text
+    spark.sql("DROP TABLE IF EXISTS t_hint_store")
+
+
 def test_incremental_store_update_and_skew_cap(spark, tmp_path):
     """update_store=True appends exactly bands×|new| entries so tomorrow's
     batch sees today's docs; max_store_bucket drops hot store keys from the
