@@ -719,6 +719,57 @@ def dedup_clusters(df: DataFrame, id_col: str = "doc_id",
     return out
 
 
+def update_clusters(clusters: DataFrame, new_pairs: DataFrame,
+                    max_iters: int = 25,
+                    algorithm: str = "auto") -> DataFrame:
+    """Incrementally fold a NEW batch's near-dup pairs into a persisted
+    cluster table — the clustering leg of the daily pipeline, costing
+    O(new pairs + touched clusters), never O(corpus).
+
+    ``clusters`` is an (id, comp, keep) table (:func:`clusters_from_pairs`
+    output, typically read back from storage); ``new_pairs`` is
+    (id_a, id_b) pairs TOUCHING the new batch — exactly what
+    :func:`incremental_minhash_dedup` returns. Together they carry the
+    full graph: a cluster's star edges (comp → member) have the same
+    transitive closure as the original pair set, so
+    closure(star edges ∪ new pairs) = closure(all pairs ever seen). The
+    update therefore equals a from-scratch re-clustering of the grown
+    corpus — certified against the same recursive-CTE oracle as
+    `dedup_components` (driver query `incremental_clusters`).
+
+    Only clusters actually touched by a new pair are re-labeled: untouched
+    rows pass through without entering the component loop, so the
+    iterative part runs on the (tiny) affected subgraph — new docs plus
+    the members of clusters they link to. Merges of two or more existing
+    clusters through a bridging new doc come out labeled with the global
+    min id, exactly as a full recompute would.
+
+    Returns a persisted (id, comp, keep) table (caller owns
+    ``unpersist()``); inputs are not modified — write the result over the
+    stored table to complete the daily cycle."""
+    touched_ids = (new_pairs.select(F.col("id_a").alias("id"))
+                   .union(new_pairs.select(F.col("id_b").alias("id")))
+                   .distinct())
+    affected_comps = (clusters.join(touched_ids, "id")
+                      .select("comp").distinct())
+    affected = clusters.join(affected_comps, "comp", "left_semi")
+    # star edges of the affected clusters carry their full connectivity
+    star_edges = (affected.filter(F.col("id") != F.col("comp"))
+                  .select(F.col("comp").alias("id_a"),
+                          F.col("id").alias("id_b")))
+    labels = connected_components(star_edges.union(
+        new_pairs.select("id_a", "id_b")), max_iters, algorithm)
+    untouched = clusters.join(affected_comps, "comp", "left_anti")
+    out = (untouched.select("id", "comp", "keep")
+           .union(labels.select(
+               "id", "comp",
+               (F.col("id") == F.col("comp")).alias("keep")))
+           .persist())
+    out.count()
+    release_checkpoint(labels)
+    return out
+
+
 def apply_cluster_keep(df: DataFrame, clusters: DataFrame,
                        id_col: str = "doc_id") -> DataFrame:
     """Drop every non-representative member of a near-dup cluster, given a

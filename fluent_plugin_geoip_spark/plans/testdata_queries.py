@@ -960,6 +960,137 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-7 large-star/small-star contraction certified against the
+    SAME recursive-CTE closure as `dedup_components`: identical pair
+    graph, `algorithm="star"`, identical expected labeling. A contraction
+    bug that merges, splits, or mis-roots any cluster breaks the hash —
+    and the two Spark algorithms are pinned equal to each other by
+    transitivity through the one oracle."""
+    from ..operators.dedup import (
+        connected_components, minhash_lsh_dedup, release_checkpoint,
+    )
+    d = _documents(spark, sf_dir)
+    pairs = minhash_lsh_dedup(d, threshold=0.8, bands=32, rows=4,
+                              num_hashes=128, exact_grams=True,
+                              max_bucket=1_000_000)
+    comps = connected_components(pairs, algorithm="star")
+    out = (comps
+           .select(F.col("id").alias("doc_id"),
+                   F.col("comp").alias("component"))
+           .orderBy("doc_id"))
+    res = spark.createDataFrame(out.collect(), out.schema)
+    release_checkpoint(comps)
+    pairs.unpersist()
+    return res
+
+
+# pair generation runs ONCE per (session, sf_dir); every curation pass
+# reuses the persisted cluster table (round-6 VERDICT item 2) — mirrors a
+# production pipeline where the cluster table is a stored artifact
+_CLUSTER_TABLES: dict[str, str] = {}
+
+
+def _cluster_table(spark: SparkSession, sf_dir: str) -> str:
+    import tempfile
+
+    from ..operators.dedup import clusters_from_pairs, minhash_lsh_dedup
+    cached = _CLUSTER_TABLES.get(sf_dir)
+    if cached is None or not os.path.isdir(cached):
+        d = _documents(spark, sf_dir)
+        pairs = minhash_lsh_dedup(d, threshold=0.8, bands=32, rows=4,
+                                  num_hashes=128, exact_grams=True,
+                                  max_bucket=1_000_000)
+        clusters = clusters_from_pairs(pairs)
+        path = tempfile.mkdtemp(prefix="geoip_clusters_")
+        clusters.write.mode("overwrite").parquet(path)
+        clusters.unpersist()
+        pairs.unpersist()
+        _CLUSTER_TABLES[sf_dir] = cached = path
+    return cached
+
+
+def q_curation_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`corpus_curation` rebuilt on the round-7 reuse seam: the cluster
+    table is computed ONCE (session-cached parquet, standing in for the
+    production stored artifact) and the curation pass is
+    `apply_cluster_keep` — a plain anti-join, NO LSH recomputation — plus
+    the same lang/quality filters. Oracled by the SAME SQL as
+    `corpus_curation`, so the reuse path is pinned to produce the exact
+    composite result the from-scratch path produces. Repeated invocations
+    measure what a production daily pass costs: the join, not the
+    clustering."""
+    from ..operators.dedup import apply_cluster_keep
+    from ..operators.textstats import quality_score_raw
+    d = _documents(spark, sf_dir)
+    clusters = spark.read.parquet(_cluster_table(spark, sf_dir))
+    return (apply_cluster_keep(d, clusters)
+            .select("doc_id", "lang",
+                    F.round(quality_score_raw(F.col("text")) * 1e6)
+                    .cast("long").alias("quality_micros"))
+            .filter(F.col("lang").isin("en", "de", "fr"))
+            .filter(F.col("quality_micros") >= 865000)
+            .orderBy("doc_id"))
+
+
+# yesterday's cluster state for the incremental-clustering query: built
+# ONCE per (session, sf_dir) over the CORPUS SUBSET (doc_id % 5 != 0 — the
+# same split as the incremental signature store)
+_CORPUS_CLUSTERS: dict[str, str] = {}
+
+
+def _corpus_cluster_table(spark: SparkSession, sf_dir: str) -> str:
+    import tempfile
+
+    from ..operators.dedup import clusters_from_pairs, minhash_lsh_dedup
+    cached = _CORPUS_CLUSTERS.get(sf_dir)
+    if cached is None or not os.path.isdir(cached):
+        corpus = _documents(spark, sf_dir).filter(F.col("doc_id") % 5 != 0)
+        pairs = minhash_lsh_dedup(corpus, threshold=0.8, bands=32, rows=4,
+                                  num_hashes=128, exact_grams=True,
+                                  max_bucket=1_000_000)
+        clusters = clusters_from_pairs(pairs)
+        path = tempfile.mkdtemp(prefix="geoip_corpus_clusters_")
+        clusters.write.mode("overwrite").parquet(path)
+        clusters.unpersist()
+        pairs.unpersist()
+        _CORPUS_CLUSTERS[sf_dir] = cached = path
+    return cached
+
+
+def q_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full incremental-dedup arc closed end to end (round 7):
+    yesterday's cluster table (corpus subset, session-cached) + today's
+    pairs from the bucketed-store probe (`incremental_minhash_dedup`) →
+    `update_clusters` — and the result is oracled against the SAME
+    recursive-CTE closure of the WHOLE corpus that `dedup_components`
+    uses. That works because closure(cluster star edges ∪ pairs touching
+    the new batch) = closure(all pairs): the incremental path is pinned
+    to agree exactly with a from-scratch re-clustering, per-component-id.
+    Repeated invocations measure the daily cost: probe + touched-cluster
+    relabeling, never a corpus recompute."""
+    from ..operators.dedup import incremental_minhash_dedup, update_clusters
+    d = _documents(spark, sf_dir)
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    new = d.filter(F.col("doc_id") % 5 == 0)
+    clusters = spark.read.parquet(_corpus_cluster_table(spark, sf_dir))
+    store, table = _incremental_store(spark, sf_dir, corpus)
+    pairs = incremental_minhash_dedup(
+        new, corpus, store, bands=32, rows=4, num_hashes=128,
+        threshold=0.8, exact_grams=True, max_bucket=1_000_000,
+        store_table=table)
+    updated = update_clusters(clusters, pairs.select("id_a", "id_b"))
+    out = (updated
+           .select(F.col("id").alias("doc_id"),
+                   F.col("comp").alias("component"))
+           .orderBy("doc_id"))
+    # materialize + release per invocation (see q_corpus_curation)
+    res = spark.createDataFrame(out.collect(), out.schema)
+    updated.unpersist()
+    pairs.unpersist()
+    return res
+
+
 ORACLE_COMPONENTS = r"""
 WITH RECURSIVE docs AS (
   SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t
@@ -1527,6 +1658,169 @@ ORDER BY id_a, id_b
 """
 
 
+# ---------------------------------------------------------------------------
+# corpus curation: PII redaction, repetition filtering, within-doc dedup,
+# deterministic corpus mixing (operators/curation.py, round 7)
+# ---------------------------------------------------------------------------
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction certified end-to-end: the documents table carries no
+    PII, so the query first APPENDS deterministic doc_id-derived PII spans
+    (email, IPv4, phone — identical `concat` construction restated in the
+    oracle), then runs the real :func:`curation.redact_pii` regexp chain.
+    The oracle rebuilds the same dirty text and applies the same patterns
+    under RE2 — the patterns are written in the Java∩RE2 common subset
+    precisely so one pattern string certifies on both engines."""
+    from ..operators.curation import redact_pii
+    d = _documents(spark, sf_dir)
+    i = F.col("doc_id")
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), i.cast("string"),
+        F.lit("@mail.example.com or +1 (555) 123-"),
+        F.lpad((i % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."), (i % 200).cast("string"), F.lit(".3.44 done"))
+    return d.select("doc_id", redact_pii(dirty).alias("redacted"))
+
+
+ORACLE_PII = r"""
+WITH dirty AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com or +1 (555) 123-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.3.44 done'
+         AS t
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b((25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\b',
+           '<IP>', 'g'),
+         '\+?[0-9]{1,2}[ .-]?\(?[0-9]{3}\)?[ .-]?[0-9]{3}[ .-]?[0-9]{4}',
+         '<PHONE>', 'g') AS redacted
+FROM dirty
+"""
+
+
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filtering under the hard gate: per-doc
+    repetition signals as fixed-point micros (one rounding of identically
+    associated double expressions on both engines, the `quality_scores`
+    protocol) for the documents SURVIVING :func:`curation.drop_repetitive`
+    at ceilings chosen to split the sf0.01 corpus near its medians
+    (dup_word p50 ≈ 0.538, top_word p50 ≈ 0.093 — so both ceilings do
+    real work). The oracle recomputes every signal from the raw token
+    list with indexed list lambdas and applies the same ceilings."""
+    from ..operators.curation import drop_repetitive, repetition_features
+    d = _documents(spark, sf_dir)
+    kept = drop_repetitive(d, max_dup_word_frac=0.55,
+                           max_top_word_frac=0.12,
+                           max_dup_bigram_frac=0.9, min_words=5)
+    f = repetition_features(F.col("text"))
+    return (kept.select(
+        "doc_id",
+        f["n_words"].alias("n_words"),
+        F.round(f["dup_word_frac"] * 1e6).cast("long")
+        .alias("dup_word_micros"),
+        F.round(f["top_word_frac"] * 1e6).cast("long")
+        .alias("top_word_micros"),
+        F.round(f["dup_bigram_frac"] * 1e6).cast("long")
+        .alias("dup_bigram_micros"))
+        .orderBy("doc_id"))
+
+
+ORACLE_REPETITION = r"""
+WITH w AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\s+') END AS l
+  FROM documents
+), f AS (
+  SELECT doc_id,
+         len(l) AS n_words,
+         CASE WHEN len(l) = 0 THEN 0.0
+              ELSE 1.0 - len(list_distinct(l)) / greatest(len(l), 1) END
+           AS dup_word,
+         coalesce(list_max(list_transform(list_distinct(l),
+                    x -> len(list_filter(l, y -> y = x)))), 0)
+           / greatest(len(l), 1) AS top_word,
+         CASE WHEN len(l) <= 1 THEN 0.0
+              ELSE 1.0 - len(list_distinct(
+                     list_filter(list_transform(l, (x, i) ->
+                       CASE WHEN i < len(l)
+                            THEN x || ' ' || l[i + 1] END),
+                       x -> x IS NOT NULL)))
+                   / CAST(len(l) - 1 AS DOUBLE) END AS dup_bigram
+  FROM w
+)
+SELECT doc_id,
+       CAST(n_words AS INT) AS n_words,
+       CAST(round(dup_word * 1e6) AS BIGINT) AS dup_word_micros,
+       CAST(round(top_word * 1e6) AS BIGINT) AS top_word_micros,
+       CAST(round(dup_bigram * 1e6) AS BIGINT) AS dup_bigram_micros
+FROM f
+WHERE n_words < 5
+   OR (dup_word <= 0.55 AND top_word <= 0.12 AND dup_bigram <= 0.9)
+ORDER BY doc_id
+"""
+
+
+def q_dedup_within_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-preserving within-document token dedup (word-granular
+    RefinedWeb exact line dedup): `array_distinct` keeps first occurrences
+    in document order; the oracle reproduces that with an indexed
+    `list_filter` keeping position i iff it is the token's first
+    `list_position`. Byte-exact output text on both engines."""
+    from ..operators.curation import dedup_words
+    d = _documents(spark, sf_dir)
+    return d.select("doc_id", dedup_words(F.col("text")).alias("deduped"))
+
+
+ORACLE_DEDUP_WITHIN = r"""
+WITH w AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\s+') END AS l
+  FROM documents
+)
+SELECT doc_id,
+       array_to_string(list_filter(l, (x, i) -> list_position(l, x) = i),
+                       ' ') AS deduped
+FROM w
+"""
+
+
+def q_corpus_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus mixing: per-language sampling rates applied
+    via the portable multiplicative hash (NOT `df.sample`, whose output
+    depends on partitioning — a resumed 100 TB job must re-decide every
+    row identically). The oracle recomputes the identical 64-bit integer
+    arithmetic and rate CASE, so row membership is certified exactly.
+    Production-scale keys (>2^33) swap the same operator onto xxhash64."""
+    from ..operators.curation import stratified_sample
+    d = _documents(spark, sf_dir)
+    mixed = stratified_sample(
+        d, {"en": 0.8, "de": 0.5, "fr": 0.25}, "lang", "doc_id",
+        default_fraction=0.1)
+    return mixed.select("doc_id", "lang").orderBy("doc_id")
+
+
+ORACLE_SAMPLE_MIX = r"""
+SELECT doc_id, lang
+FROM documents
+WHERE ((doc_id * 1103515245 + 12345) % 2147483648) / 2147483648.0
+      < CASE WHEN lang = 'en' THEN 0.8
+             WHEN lang = 'de' THEN 0.5
+             WHEN lang = 'fr' THEN 0.25
+             ELSE 0.1 END
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "geoip_enrich_country_counts": q_geoip_enrich_country_counts,
     "geoip_enrich_values": q_geoip_enrich_values,
@@ -1556,10 +1850,17 @@ QUERIES = {
     "topk_per_group": q_topk_per_group,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_components": q_dedup_components,
+    "dedup_components_star": q_dedup_components_star,
     "corpus_curation": q_corpus_curation,
+    "curation_reuse": q_curation_reuse,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_incremental": q_dedup_incremental,
+    "incremental_clusters": q_incremental_clusters,
+    "pii_redaction": q_pii_redaction,
+    "repetition_filter": q_repetition_filter,
+    "dedup_within_doc": q_dedup_within_doc,
+    "corpus_sample_mix": q_corpus_sample_mix,
     "embedding_near_dups": q_embedding_near_dups,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -1605,9 +1906,16 @@ ORACLES = {
     "dedup_simhash": ORACLE_SIMHASH,
     "dedup_minhash_lsh": ORACLE_MINHASH,
     "dedup_components": ORACLE_COMPONENTS,
+    "dedup_components_star": ORACLE_COMPONENTS,
     "corpus_curation": ORACLE_CURATION,
+    "curation_reuse": ORACLE_CURATION,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "dedup_incremental": ORACLE_INCREMENTAL,
+    "incremental_clusters": ORACLE_COMPONENTS,
+    "pii_redaction": ORACLE_PII,
+    "repetition_filter": ORACLE_REPETITION,
+    "dedup_within_doc": ORACLE_DEDUP_WITHIN,
+    "corpus_sample_mix": ORACLE_SAMPLE_MIX,
     "embedding_near_dups": _near_dup_oracle_sql(),
     "multimodal_audio_stats": ORACLE_MULTIMODAL_AUDIO,
     "multimodal_video_frames": ORACLE_MULTIMODAL_VIDEO,

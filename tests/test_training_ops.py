@@ -767,6 +767,65 @@ def test_auto_falls_back_to_star_instead_of_raising(spark):
     dedup.release_checkpoint(labels)
 
 
+def test_update_clusters_matches_from_scratch(spark):
+    """Round-7 incremental cluster maintenance: folding a new batch's
+    pairs into yesterday's cluster table must equal re-clustering the
+    grown corpus from scratch — new docs joining existing clusters,
+    brand-new clusters forming inside the batch, and untouched clusters
+    passing through identically (the cross-cluster MERGE case is pinned
+    separately on a hand-built table below)."""
+    dup_a = "alpha cluster content repeated for similarity " * 6
+    dup_b = "beta cluster wording shared between the pair " * 6
+    dup_c = "gamma untouched cluster that no new doc links " * 6
+    corpus = spark.createDataFrame(
+        [(1, dup_a), (2, dup_a), (5, dup_b), (6, dup_b),
+         (8, dup_c), (9, dup_c),
+         (7, "solo corpus document with unique words " * 6)],
+        "doc_id long, text string")
+    old = dedup.dedup_clusters(corpus, threshold=0.8, exact_grams=True)
+
+    # new batch: 20 joins cluster {1,2}, 21 joins {5,6}; 30/31 are a
+    # brand-new duplicate pair; nothing touches {8,9} or solo doc 7
+    new = spark.createDataFrame(
+        [(20, dup_a), (21, dup_b),
+         (30, "fresh duplicate pair only in the new batch " * 6),
+         (31, "fresh duplicate pair only in the new batch " * 6)],
+        "doc_id long, text string")
+    new_pairs = dedup.minhash_lsh_dedup(
+        corpus.union(new), threshold=0.8, exact_grams=True).filter(
+        (F.col("id_a") >= 20) | (F.col("id_b") >= 20))
+    updated = dedup.update_clusters(old, new_pairs)
+    got = {(r.id, r.comp, r.keep) for r in updated.collect()}
+
+    scratch = dedup.dedup_clusters(corpus.union(new), threshold=0.8,
+                                   exact_grams=True)
+    want = {(r.id, r.comp, r.keep) for r in scratch.collect()}
+    assert got == want
+    # untouched cluster {8,9} passed through; new-only pair clustered
+    assert (8, 8, True) in got and (9, 8, False) in got
+    assert (30, 30, True) in got and (31, 30, False) in got
+    new_pairs.unpersist()
+    for d in (old, updated, scratch):
+        d.unpersist()
+
+
+def test_update_clusters_merge_takes_global_min(spark):
+    """A bridging pair between two stored clusters relabels BOTH to the
+    global min — directly, on a hand-built cluster table."""
+    clusters = spark.createDataFrame(
+        [(3, 3, True), (4, 3, False), (10, 10, True), (11, 10, False),
+         (50, 50, True), (51, 50, False)],
+        "id long, comp long, keep boolean")
+    pairs = spark.createDataFrame([(4, 100), (100, 10)],
+                                  "id_a long, id_b long")
+    updated = dedup.update_clusters(clusters, pairs)
+    got = {(r.id, r.comp) for r in updated.collect()}
+    assert got == {(3, 3), (4, 3), (10, 3), (11, 3), (100, 3),
+                   (50, 50), (51, 50)}
+    assert {r.id for r in updated.filter("keep").collect()} == {3, 50}
+    updated.unpersist()
+
+
 def test_cluster_table_reuse_across_curation_passes(spark, tmp_path):
     """Round-6 VERDICT item 2: pair generation runs ONCE; the persisted
     cluster table then drives any number of curation passes via
