@@ -1,0 +1,177 @@
+"""Corpus-curation operators a web-scale training-data pipeline needs
+beyond dedup/quality: PII redaction, Gopher-style repetition signals,
+within-document token dedup, and deterministic (re-runnable) stratified
+sampling for corpus mixing.
+
+No reference counterpart (the reference is a log-event enricher,
+SURVEY.md §2.6 note) — these are training-data extensions in the same
+family as :mod:`textstats`. Everything is native Catalyst expressions
+(regexp / split / higher-order array functions): JVM-side, codegen'd,
+shuffle-free narrow maps that scale linearly with executors. The only
+per-row superlinear pieces are the O(L_words^2) repetition counts and
+within-doc dedup, bounded in practice by document length — at 100 TB cap
+upstream with ``F.slice(words, 1, max_words)`` if documents are untrimmed.
+
+Sampling determinism matters at scale: ``df.sample()`` is seed- AND
+partitioning-dependent, so a retried/resumed job can emit a different
+corpus. Hash-based sampling keys off the row's own id, so the decision
+for every row is stable across retries, repartitioning, and re-runs —
+the property a resumable 100 TB curation job actually needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .textstats import tokens
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# Patterns are deliberately written in the Java-regex ∩ RE2 common subset
+# (character classes, bounded repeats, \b) so the exact same pattern string
+# runs JVM-side here and in any RE2-based engine used to audit the output.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    # order matters and dict order is the application order: emails first
+    # (their local parts contain digits a later pass could chew on), then
+    # IPv4s (octet-exact, so phone redaction never sees dotted quads),
+    # then phone-shaped digit runs.
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ipv4": (r"\b((25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}"
+             r"(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\b", "<IP>"),
+    "phone": (r"\+?[0-9]{1,2}[ .-]?\(?[0-9]{3}\)?[ .-]?[0-9]{3}[ .-]?[0-9]{4}",
+              "<PHONE>"),
+}
+
+
+def redact_pii(text: Column, kinds: tuple[str, ...] | None = None) -> Column:
+    """Replace PII-shaped spans with typed placeholder tokens.
+
+    ``kinds`` selects (and orders) which :data:`PII_PATTERNS` entries run;
+    default is all, in the dict's declared order. Pure ``regexp_replace``
+    chain — one codegen'd projection, no Python."""
+    out = text
+    for kind in (kinds if kinds is not None else tuple(PII_PATTERNS)):
+        pattern, token = PII_PATTERNS[kind]
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# repetition signals (Gopher-rule family)
+# ---------------------------------------------------------------------------
+
+def repetition_features(text: Column) -> Column:
+    """Struct of within-document repetition signals, the Gopher-style
+    boilerplate detectors word-granular web text supports:
+
+    - ``n_words``
+    - ``dup_word_frac``   — fraction of word occurrences that repeat an
+      earlier occurrence (``1 - distinct/total``)
+    - ``top_word_frac``   — occurrences of the most frequent word / total
+    - ``dup_bigram_frac`` — same as dup_word_frac over adjacent bigrams
+
+    The mode count and bigram distinct are O(L^2) per row but stay inside
+    whole-stage codegen; see the module docstring for the cap-at-ingest
+    guidance on untrimmed documents."""
+    w = tokens(text)
+    n = F.size(w)
+    safe_n = F.greatest(n, F.lit(1))
+    top = F.array_max(F.transform(
+        F.array_distinct(w),
+        lambda x: F.size(F.filter(w, lambda y: y == x))))
+    bi = F.zip_with(F.slice(w, 1, F.greatest(n - 1, F.lit(0))),
+                    F.slice(w, 2, F.greatest(n - 1, F.lit(0))),
+                    lambda a, b: F.concat_ws(" ", a, b))
+    # degenerate docs (0 words / 0 bigrams) read as 0 repetition, not 1 —
+    # a one-word document must not trip a repetition ceiling
+    dup_w = F.when(n == 0, F.lit(0.0)) \
+             .otherwise(1.0 - F.size(F.array_distinct(w)) / safe_n)
+    dup_bi = F.when(F.size(bi) == 0, F.lit(0.0)) \
+              .otherwise(1.0 - F.size(F.array_distinct(bi))
+                         / F.size(bi).cast("double"))
+    return F.struct(
+        n.alias("n_words"),
+        dup_w.alias("dup_word_frac"),
+        (F.coalesce(top, F.lit(0)) / safe_n).alias("top_word_frac"),
+        dup_bi.alias("dup_bigram_frac"),
+    )
+
+
+def drop_repetitive(df: DataFrame, text_col: str = "text",
+                    max_dup_word_frac: float = 0.6,
+                    max_top_word_frac: float = 0.3,
+                    max_dup_bigram_frac: float = 0.9,
+                    min_words: int = 5) -> DataFrame:
+    """Gopher-style repetition filter: keep documents under all three
+    repetition ceilings. Documents shorter than ``min_words`` bypass the
+    ceilings (a 2-word doc trivially has top_word_frac ≥ 0.5 — length
+    policy is a separate filter, as in the Gopher rule set). Narrow (no
+    shuffle); thresholds default to values sane for word-granular web
+    text — tune per corpus."""
+    f = repetition_features(F.col(text_col))
+    return (df.withColumn("__rep", f)
+            .filter((F.col("__rep.n_words") < min_words)
+                    | ((F.col("__rep.dup_word_frac") <= max_dup_word_frac)
+                       & (F.col("__rep.top_word_frac") <= max_top_word_frac)
+                       & (F.col("__rep.dup_bigram_frac")
+                          <= max_dup_bigram_frac)))
+            .drop("__rep"))
+
+
+def dedup_words(text: Column) -> Column:
+    """Order-preserving within-document token dedup (the word-granular
+    analogue of RefinedWeb's exact line dedup): keep the FIRST occurrence
+    of each token, preserving document order. ``array_distinct`` is
+    documented to keep first-occurrence order, making this one codegen'd
+    projection."""
+    return F.array_join(F.array_distinct(tokens(text)), " ")
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling / corpus mixing
+# ---------------------------------------------------------------------------
+
+# 2^31 modulus with the classic glibc LCG multiplier: the multiply stays
+# within int64 for keys < ~8.3e9, so the identical arithmetic runs on any
+# engine with 64-bit integers (the portability trick portable_token_hash64
+# uses for dedup oracles). Production-scale keys (>2^33) should pass
+# hash_expr=F.xxhash64(...) instead — same operator, stronger mixing.
+_PORTABLE_MOD = 2_147_483_648
+_PORTABLE_MUL = 1_103_515_245
+_PORTABLE_ADD = 12_345
+
+
+def portable_uniform(key: Column) -> Column:
+    """[0,1) deterministic uniform from an integer key — exactly
+    reproducible in plain 64-bit SQL arithmetic on any engine."""
+    h = F.pmod(key.cast("long") * _PORTABLE_MUL + _PORTABLE_ADD,
+               F.lit(_PORTABLE_MOD))
+    return h / F.lit(float(_PORTABLE_MOD))
+
+
+def hash_sample(df: DataFrame, fraction: float, key_col: str,
+                hash_expr: Column | None = None) -> DataFrame:
+    """Deterministic Bernoulli sample: a row is kept iff
+    ``uniform(key) < fraction`` — stable across retries, repartitioning
+    and re-runs (unlike ``df.sample``, whose output depends on the seed
+    AND the physical partitioning). Narrow filter, pushed to the scan."""
+    u = portable_uniform(F.col(key_col)) if hash_expr is None \
+        else portable_uniform(hash_expr)
+    return df.filter(u < F.lit(float(fraction)))
+
+
+def stratified_sample(df: DataFrame, fractions: dict[str, float],
+                      strata_col: str, key_col: str,
+                      default_fraction: float = 0.0) -> DataFrame:
+    """Corpus mixing: per-stratum deterministic sampling rates (e.g.
+    up/down-weighting languages or sources when composing a training mix).
+    Strata absent from ``fractions`` get ``default_fraction``. One narrow
+    filter — the per-stratum rate is a CASE expression, no shuffle, no
+    driver-side split-apply-combine."""
+    rate = F.lit(float(default_fraction))
+    for stratum, frac in fractions.items():
+        rate = F.when(F.col(strata_col) == stratum,
+                      F.lit(float(frac))).otherwise(rate)
+    return df.filter(portable_uniform(F.col(key_col)) < rate)
