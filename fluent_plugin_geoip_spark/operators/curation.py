@@ -21,6 +21,8 @@ the property a resumable 100 TB curation job actually needs.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from .textstats import tokens
@@ -175,3 +177,95 @@ def stratified_sample(df: DataFrame, fractions: dict[str, float],
         rate = F.when(F.col(strata_col) == stratum,
                       F.lit(float(frac))).otherwise(rate)
     return df.filter(portable_uniform(F.col(key_col)) < rate)
+
+
+# ---------------------------------------------------------------------------
+# cross-document paragraph dedup (the CCNet / RefinedWeb line-dedup family)
+# ---------------------------------------------------------------------------
+
+def dedup_paragraphs(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", sep: str = "\n",
+                     min_chars: int = 1) -> DataFrame:
+    """Corpus-wide exact paragraph dedup: split every document on ``sep``,
+    keep only the globally FIRST occurrence of each paragraph (ordered by
+    ``(id, position)``), and reassemble each document from its surviving
+    paragraphs in original order. This is the CCNet/RefinedWeb-style
+    boilerplate killer — repeated footers/navbars/cookie banners vanish
+    from every document but the first one that carried them.
+
+    Paragraphs shorter than ``min_chars`` always survive (an empty or
+    one-character line is structure, not boilerplate; deduping ''
+    corpus-wide would silently merge paragraph boundaries). The default
+    ``min_chars=1`` exempts exactly the empty strings a trailing/leading
+    separator produces.
+
+    Returns ``(id, text_dedup, n_paras, n_kept)``.
+
+    Scale shape (the part that matters at 100 TB): the winner per
+    paragraph is ``groupBy(para).agg(min(struct(id, pos)))`` — a single
+    shuffle WITH map-side partial aggregation, so each task ships only
+    its distinct paragraphs, not every occurrence (on boilerplate-heavy
+    web text that is the whole point — the hot paragraphs collapse to one
+    row per map task before the wire). The winners ARE the kept rows (no
+    second pass or self-join to mark survivors), reassembly is one
+    ``groupBy(id)``, and the final ``n_paras`` attach is an id-keyed join
+    that AQE plans against the reassembly's existing hash partitioning.
+    No windows (a window over ``partitionBy(para)`` would ship every
+    occurrence), no Python."""
+    esc = re.escape(sep)
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), esc)).alias("pos", "para"))
+    bypass = paras.filter(F.length("para") < min_chars)
+    winners = (paras.filter(F.length("para") >= min_chars)
+               .groupBy("para")
+               .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("w"))
+               .select(F.col(f"w.{id_col}").alias(id_col),
+                       F.col("w.pos").alias("pos"), "para"))
+    kept = bypass.select(id_col, "pos", "para").unionByName(winners)
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"]),
+            sep).alias("text_dedup"),
+        F.count("*").alias("n_kept"))
+    base = df.select(F.col(id_col),
+                     F.size(F.split(F.col(text_col), esc)).cast("long")
+                      .alias("n_paras"))
+    return (base.join(rebuilt, id_col, "left")
+            .select(id_col,
+                    F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+                    "n_paras",
+                    F.coalesce("n_kept", F.lit(0)).cast("long")
+                     .alias("n_kept")))
+
+
+# ---------------------------------------------------------------------------
+# corpus n-gram statistics (tokenizer training / contamination scans)
+# ---------------------------------------------------------------------------
+
+def ngram_counts(df: DataFrame, text_col: str = "text", n: int = 2,
+                 min_count: int = 2) -> DataFrame:
+    """Corpus-wide n-gram occurrence counts — the primitive under
+    tokenizer/vocab training, benchmark-contamination scans, and
+    collocation mining. Returns ``(ngram, cnt)`` for every whitespace
+    n-gram occurring at least ``min_count`` times.
+
+    Documents shorter than ``n`` tokens contribute nothing. One shuffle,
+    and it is the cheap kind: ``groupBy(ngram).count()`` partially
+    aggregates map-side, so the wire carries one row per distinct n-gram
+    per task — on Zipf-distributed text the head (which is almost all
+    occurrences) collapses before the shuffle. The ``min_count`` filter
+    runs post-agg (it cannot be pushed below a count), but the heavy
+    tail it drops was already one row per task. The gram expansion is a
+    codegen'd higher-order function, no Python."""
+    w = tokens(F.col(text_col))
+    grams = F.when(
+        F.size(w) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(w) - (n - 1)),
+                    lambda i: F.array_join(F.slice(w, i, n), " "))
+    ).otherwise(F.array().cast("array<string>"))
+    return (df.select(F.explode(grams).alias("ngram"))
+            .groupBy("ngram").agg(F.count("*").alias("cnt"))
+            .filter(F.col("cnt") >= int(min_count)))

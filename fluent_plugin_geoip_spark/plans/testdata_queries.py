@@ -1821,6 +1821,100 @@ ORDER BY doc_id
 """
 
 
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact paragraph dedup (CCNet/RefinedWeb line-dedup
+    family). The documents table has no newlines, so — the `pii_redaction`
+    protocol — each doc first becomes a 4-paragraph page built from
+    doc_id-derived `concat`s restated identically in the oracle: a unique
+    intro (carries its own doc_id), a footer shared by every doc with the
+    same ``doc_id % 7``, a banner shared modulo 3, and a tail slice of the
+    doc's own text ('' when the text is short — the min_chars bypass).
+    :func:`curation.dedup_paragraphs` then keeps only the globally first
+    ``(doc_id, pos)`` occurrence of each paragraph and reassembles; the
+    oracle replays the rule with a ``row_number() OVER (PARTITION BY
+    para ORDER BY doc_id, pos)`` and an ordered ``string_agg``. Byte-exact
+    reassembled text, plus the per-doc paragraph totals."""
+    from ..operators.curation import dedup_paragraphs
+    d = _documents(spark, sf_dir)
+    i = F.col("doc_id")
+    t = F.concat(
+        F.lit("intro "), i.cast("string"), F.lit(" "),
+        F.substring(F.col("text"), 1, 60),
+        F.lit("\nshared boilerplate footer "), (i % 7).cast("string"),
+        F.lit("\nsubscribe banner "), (i % 3).cast("string"),
+        F.lit("\n"), F.substring(F.col("text"), 61, 40))
+    pages = d.select("doc_id", t.alias("text"))
+    return dedup_paragraphs(pages).orderBy("doc_id")
+
+
+ORACLE_PARAGRAPH_DEDUP = r"""
+WITH docs AS (
+  SELECT doc_id,
+         'intro ' || CAST(doc_id AS VARCHAR) || ' ' || substr(text, 1, 60)
+         || chr(10) || 'shared boilerplate footer '
+                    || CAST(doc_id % 7 AS VARCHAR)
+         || chr(10) || 'subscribe banner ' || CAST(doc_id % 3 AS VARCHAR)
+         || chr(10) || substr(text, 61, 40) AS t
+  FROM documents
+), paras AS (
+  SELECT doc_id,
+         unnest(string_split(t, chr(10))) AS para,
+         unnest(range(0, len(string_split(t, chr(10))))) AS pos
+  FROM docs
+), ranked AS (
+  SELECT doc_id, pos, para,
+         CASE WHEN length(para) < 1 THEN CAST(1 AS BIGINT)
+              ELSE row_number() OVER (PARTITION BY para
+                                      ORDER BY doc_id, pos) END AS rn
+  FROM paras
+), kept AS (
+  SELECT doc_id,
+         string_agg(para, chr(10) ORDER BY pos) AS text_dedup,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM ranked WHERE rn = 1 GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(k.text_dedup, '') AS text_dedup,
+       CAST(len(string_split(d.t, chr(10))) AS BIGINT) AS n_paras,
+       coalesce(k.n_kept, 0) AS n_kept
+FROM docs d LEFT JOIN kept k USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+def q_ngram_corpus_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide bigram counts at a min-count floor — the primitive
+    under tokenizer/vocab training and benchmark-contamination scans.
+    :func:`curation.ngram_counts` expands grams with a codegen'd
+    higher-order function and counts through a partially-aggregating
+    ``groupBy`` (one shuffle, one row per distinct gram per task on the
+    wire); the oracle re-derives every bigram with an indexed
+    ``list_transform`` over the same whitespace token list."""
+    from ..operators.curation import ngram_counts
+    d = _documents(spark, sf_dir)
+    return ngram_counts(d, n=2, min_count=5).orderBy("ngram")
+
+
+ORACLE_NGRAM_COUNTS = r"""
+WITH w AS (
+  SELECT CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\s+') END AS l
+  FROM documents
+), grams AS (
+  SELECT unnest(CASE WHEN len(l) >= 2
+                     THEN list_transform(range(1, len(l)),
+                                         i -> l[i] || ' ' || l[i + 1])
+                     ELSE CAST([] AS VARCHAR[]) END) AS ngram
+  FROM w
+)
+SELECT ngram, CAST(count(*) AS BIGINT) AS cnt
+FROM grams
+GROUP BY ngram
+HAVING count(*) >= 5
+ORDER BY ngram
+"""
+
+
 QUERIES = {
     "geoip_enrich_country_counts": q_geoip_enrich_country_counts,
     "geoip_enrich_values": q_geoip_enrich_values,
@@ -1861,6 +1955,8 @@ QUERIES = {
     "repetition_filter": q_repetition_filter,
     "dedup_within_doc": q_dedup_within_doc,
     "corpus_sample_mix": q_corpus_sample_mix,
+    "paragraph_dedup": q_paragraph_dedup,
+    "ngram_corpus_counts": q_ngram_corpus_counts,
     "embedding_near_dups": q_embedding_near_dups,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -1916,6 +2012,8 @@ ORACLES = {
     "repetition_filter": ORACLE_REPETITION,
     "dedup_within_doc": ORACLE_DEDUP_WITHIN,
     "corpus_sample_mix": ORACLE_SAMPLE_MIX,
+    "paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,
+    "ngram_corpus_counts": ORACLE_NGRAM_COUNTS,
     "embedding_near_dups": _near_dup_oracle_sql(),
     "multimodal_audio_stats": ORACLE_MULTIMODAL_AUDIO,
     "multimodal_video_frames": ORACLE_MULTIMODAL_VIDEO,

@@ -117,6 +117,86 @@ def test_hash_sample_fractions_nest(spark):
     assert lo <= hi
 
 
+# ---------------------------------------------------------------------------
+# cross-document paragraph dedup
+# ---------------------------------------------------------------------------
+
+def test_dedup_paragraphs_global_first_occurrence(spark):
+    df = spark.createDataFrame(
+        [(1, "unique one\nshared footer\nalso unique"),
+         (2, "shared footer\nunique two"),
+         (3, "unique three\nshared footer\nunique two")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           curation.dedup_paragraphs(df).collect()}
+    # doc 1 is the first carrier of 'shared footer' → keeps everything
+    assert got[1].text_dedup == "unique one\nshared footer\nalso unique"
+    assert (got[1].n_paras, got[1].n_kept) == (3, 3)
+    # doc 2 loses the footer but keeps its own paragraph
+    assert got[2].text_dedup == "unique two"
+    assert (got[2].n_paras, got[2].n_kept) == (2, 1)
+    # doc 3 loses the footer AND 'unique two' (doc 2 carried it first)
+    assert got[3].text_dedup == "unique three"
+    assert (got[3].n_paras, got[3].n_kept) == (3, 1)
+
+
+def test_dedup_paragraphs_within_doc_repeat(spark):
+    # a paragraph repeated inside ONE document also dedups to its first
+    # position — global-first means first (doc, pos), not first doc
+    df = spark.createDataFrame([(7, "a b\nmid\na b")],
+                               "doc_id long, text string")
+    r = curation.dedup_paragraphs(df).head()
+    assert r.text_dedup == "a b\nmid" and r.n_paras == 3 and r.n_kept == 2
+
+
+def test_dedup_paragraphs_short_paragraphs_bypass(spark):
+    # empty paragraphs (trailing sep / blank lines) are structure: every
+    # document keeps its own, they never dedup against each other
+    df = spark.createDataFrame(
+        [(1, "x\n\ny"), (2, "z\n\ny")], "doc_id long, text string")
+    got = {r.doc_id: r for r in curation.dedup_paragraphs(df).collect()}
+    assert got[1].text_dedup == "x\n\ny"
+    assert got[2].text_dedup == "z\n"          # 'y' deduped, '' kept
+    assert (got[2].n_paras, got[2].n_kept) == (3, 2)
+    # raising min_chars widens the bypass: 1-char paragraphs now survive
+    wide = {r.doc_id: r for r in
+            curation.dedup_paragraphs(df, min_chars=2).collect()}
+    assert wide[2].text_dedup == "z\n\ny"
+
+
+def test_dedup_paragraphs_all_duplicate_doc_survives_empty(spark):
+    # a document whose every paragraph was seen earlier still appears in
+    # the output (empty text), so row counts are preserved for joins
+    df = spark.createDataFrame([(1, "dup para"), (2, "dup para")],
+                               "doc_id long, text string")
+    got = {r.doc_id: r for r in curation.dedup_paragraphs(df).collect()}
+    assert got[1].text_dedup == "dup para"
+    assert got[2].text_dedup == "" and got[2].n_kept == 0
+
+
+# ---------------------------------------------------------------------------
+# corpus n-gram counts
+# ---------------------------------------------------------------------------
+
+def test_ngram_counts_bigrams(spark):
+    df = spark.createDataFrame(
+        [("the cat sat",), ("the cat ran",), ("cat",), ("",)], "text string")
+    got = {r.ngram: r.cnt for r in
+           curation.ngram_counts(df, n=2, min_count=1).collect()}
+    assert got == {"the cat": 2, "cat sat": 1, "cat ran": 1}
+    # min_count prunes the tail; short/empty docs contribute nothing
+    top = {r.ngram: r.cnt for r in
+           curation.ngram_counts(df, n=2, min_count=2).collect()}
+    assert top == {"the cat": 2}
+
+
+def test_ngram_counts_trigrams_window_slide(spark):
+    df = spark.createDataFrame([("a b c d",)], "text string")
+    got = {r.ngram for r in
+           curation.ngram_counts(df, n=3, min_count=1).collect()}
+    assert got == {"a b c", "b c d"}
+
+
 def test_stratified_sample_rates_and_default(spark):
     rows = [(i, ["en", "de", "xx"][i % 3]) for i in range(3000)]
     df = spark.createDataFrame(rows, "k long, lang string")

@@ -341,3 +341,31 @@ def test_jvm_join_requires_v4_only_db(spark):
                       records={"c": "${country.iso_code['ip']}"})
     with pytest.raises(ValueError, match="v4-only"):
         GeoipEnricher(spark, cfg, db, strategy="jvm_join")
+
+
+def test_paragraph_dedup_partial_agg_no_window(spark, tmp_path_factory):
+    """dedup_paragraphs' winner-per-paragraph must be an aggregate pair
+    (partial map-side combine before the shuffle — on boilerplate-heavy
+    web text the hot paragraphs collapse to one row per task before the
+    wire) and NOT a window over partitionBy(para), which would ship every
+    occurrence. min(struct) has no mutable hash buffer so the pair shows
+    as Sort/ObjectHash aggregates; the pin is the pair + the absence of
+    any Window node."""
+    from fluent_plugin_geoip_spark.operators.curation import dedup_paragraphs
+
+    d = str(tmp_path_factory.mktemp("paradedup") / "docs.parquet")
+    spark.createDataFrame(
+        [(i, f"para {i}\nshared footer\ntail {i % 3}") for i in range(40)],
+        "doc_id long, text string").write.parquet(d)
+    out = dedup_paragraphs(spark.read.parquet(d))
+    plan = explain(out)
+    tree = plan.split("\n\n")[0]
+    assert "Window" not in tree, tree
+    # two agg pairs (winner selection + reassembly), each partial+final
+    # (count word-exactly: "ObjectHashAggregate" contains "HashAggregate")
+    import re as _re
+    aggs = len(_re.findall(
+        r"\b(?:SortAggregate|ObjectHashAggregate|HashAggregate)\b", tree))
+    assert aggs == 4, tree
+    # exactly two shuffles: the paragraph winner shuffle + the doc rebuild
+    assert _shuffles(tree) == 2, tree
