@@ -212,17 +212,38 @@ def dedup_paragraphs(df: DataFrame, id_col: str = "doc_id",
     that AQE plans against the reassembly's existing hash partitioning.
     No windows (a window over ``partitionBy(para)`` would ship every
     occurrence), no Python."""
+    paras = _explode_paras(df, id_col, text_col, sep)
+    bypass = paras.filter(F.length("para") < min_chars)
+    winners = _para_winners(
+        paras.filter(F.length("para") >= min_chars), id_col)
+    kept = bypass.select(id_col, "pos", "para").unionByName(winners)
+    return _reassemble(df, kept, id_col, text_col, sep)
+
+
+def _explode_paras(df: DataFrame, id_col: str, text_col: str,
+                   sep: str) -> DataFrame:
+    """(id, pos, para) — one row per paragraph occurrence."""
     esc = re.escape(sep)
-    paras = df.select(
+    return df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), esc)).alias("pos", "para"))
-    bypass = paras.filter(F.length("para") < min_chars)
-    winners = (paras.filter(F.length("para") >= min_chars)
-               .groupBy("para")
-               .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("w"))
-               .select(F.col(f"w.{id_col}").alias(id_col),
-                       F.col("w.pos").alias("pos"), "para"))
-    kept = bypass.select(id_col, "pos", "para").unionByName(winners)
+
+
+def _para_winners(paras: DataFrame, id_col: str) -> DataFrame:
+    """Globally-first occurrence per paragraph — a partially-aggregating
+    groupBy, NOT a window (see :func:`dedup_paragraphs`)."""
+    return (paras.groupBy("para")
+            .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("w"))
+            .select(F.col(f"w.{id_col}").alias(id_col),
+                    F.col("w.pos").alias("pos"), "para"))
+
+
+def _reassemble(df: DataFrame, kept: DataFrame, id_col: str, text_col: str,
+                sep: str) -> DataFrame:
+    """Rebuild (id, text_dedup, n_paras, n_kept) from surviving
+    (id, pos, para) rows, preserving original paragraph order and keeping
+    a row for every input document (empty text when nothing survived)."""
+    esc = re.escape(sep)
     rebuilt = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(
@@ -239,6 +260,117 @@ def dedup_paragraphs(df: DataFrame, id_col: str = "doc_id",
                     "n_paras",
                     F.coalesce("n_kept", F.lit(0)).cast("long")
                      .alias("n_kept")))
+
+
+def write_paragraph_store(df: DataFrame, store_dir: str,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          sep: str = "\n", min_chars: int = 1,
+                          mode: str = "overwrite", batch_id: int = 0,
+                          bucket_by: int | None = None,
+                          table: str | None = None) -> str | None:
+    """Persist a corpus's distinct paragraphs as the incremental
+    paragraph-dedup store: rows of ``(phash, para)`` with
+    ``phash = xxhash64(para)``.
+
+    ``bucket_by=N`` writes a phash-BUCKETED external table
+    (``bucketBy(N, "phash").sortBy("phash")``) rooted at ``store_dir`` and
+    returns its name; the daily probe then joins on ``phash`` alone with
+    NO store-side exchange — the same layout economics as the bucketed
+    signature store (dedup.py): the probe's cost stops scaling with store
+    size. ``bucket_by=None`` writes plain parquet partitioned by
+    ``batch_id`` (returns None) — the layout
+    :func:`incremental_dedup_paragraphs` needs for replay-idempotent
+    store updates."""
+    paras = (_explode_paras(df, id_col, text_col, sep)
+             .filter(F.length("para") >= min_chars)
+             .select("para").distinct()
+             .select(F.xxhash64("para").alias("phash"), "para"))
+    if bucket_by is None:
+        (paras.withColumn("batch_id", F.lit(int(batch_id)))
+         .write.mode(mode).partitionBy("batch_id").parquet(store_dir))
+        return None
+    import hashlib
+    name = table or ("para_store_" +
+                     hashlib.md5(store_dir.encode()).hexdigest()[:12])
+    (paras.write.mode(mode)
+     .bucketBy(bucket_by, "phash").sortBy("phash")
+     .option("path", store_dir).format("parquet").saveAsTable(name))
+    return name
+
+
+def incremental_dedup_paragraphs(batch: DataFrame, store_dir: str,
+                                 id_col: str = "doc_id",
+                                 text_col: str = "text", sep: str = "\n",
+                                 min_chars: int = 1,
+                                 update_store: bool = False,
+                                 store_batch_id: int | None = None,
+                                 store_table: str | None = None
+                                 ) -> DataFrame:
+    """Incremental cross-document paragraph dedup: the production form
+    where daily crawl batches arrive against an ever-growing corpus. A
+    batch paragraph survives iff it is (a) the batch's own first
+    ``(id, pos)`` occurrence AND (b) absent from the persisted paragraph
+    store (every paragraph previously seen). Returns the same
+    ``(id, text_dedup, n_paras, n_kept)`` as :func:`dedup_paragraphs` —
+    only the batch is reassembled; the corpus is NEVER re-exploded or
+    re-read. Exactness: the store probe joins on ``phash`` and verifies
+    the paragraph string in-task, so a 64-bit collision can never drop a
+    genuinely new paragraph.
+
+    ``store_table`` (from ``write_paragraph_store(bucket_by=...)``) probes
+    the phash-bucketed table: the store side scans with NO exchange —
+    only the (small) batch shuffles. Store updates for the bucketed form
+    go through ``write_paragraph_store(mode="append", bucket_by=...,
+    table=...)``; ``update_store=True`` is refused with it (the bucket
+    spec isn't known at probe time — the signature-store rule).
+
+    ``update_store=True`` (plain store) appends the batch's surviving new
+    paragraphs under ``batch_id=<store_batch_id>/`` with dynamic partition
+    overwrite — a re-delivered batch REPLACES its own partition (replay-
+    idempotent), and the probe excludes the replaying batch's own rows, so
+    update-then-retry cannot dedup the batch against itself."""
+    if store_table is not None and update_store:
+        raise ValueError(
+            "update_store is not supported with store_table; append via "
+            "write_paragraph_store(mode='append', bucket_by=..., table=...)")
+    if update_store and store_batch_id is None:
+        raise ValueError("update_store=True requires store_batch_id")
+    spark = batch.sparkSession
+    paras = _explode_paras(batch, id_col, text_col, sep)
+    bypass = paras.filter(F.length("para") < min_chars)
+    winners = (_para_winners(
+        paras.filter(F.length("para") >= min_chars), id_col)
+        .withColumn("phash", F.xxhash64("para")))
+
+    if store_table is not None:
+        store = spark.table(store_table)
+        # phash-only equi-join keeps the bucketed scan exchange-free; the
+        # in-task string compare removes hash collisions exactly
+        hits = (winners.join(store.select("phash",
+                                          F.col("para").alias("__sp")),
+                             "phash")
+                .filter(F.col("para") == F.col("__sp"))
+                .select(id_col, "pos").distinct())
+        new_kept = winners.join(hits, [id_col, "pos"], "left_anti")
+    else:
+        store = spark.read.parquet(store_dir)
+        if store_batch_id is not None:
+            # exclude the replaying batch's own partition (replay safety)
+            store = store.filter(F.col("batch_id") != int(store_batch_id))
+        new_kept = winners.join(store.select("phash", "para"),
+                                ["phash", "para"], "left_anti")
+
+    kept = bypass.select(id_col, "pos", "para").unionByName(
+        new_kept.select(id_col, "pos", "para"))
+    out = _reassemble(batch, kept, id_col, text_col, sep)
+
+    if update_store:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (new_kept.select("phash", "para").distinct()
+         .withColumn("batch_id", F.lit(int(store_batch_id)))
+         .write.mode("overwrite").partitionBy("batch_id")
+         .parquet(store_dir))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -261,11 +393,63 @@ def ngram_counts(df: DataFrame, text_col: str = "text", n: int = 2,
     tail it drops was already one row per task. The gram expansion is a
     codegen'd higher-order function, no Python."""
     w = tokens(F.col(text_col))
-    grams = F.when(
+    grams = _token_ngrams(w, n)
+    return (df.select(F.explode(grams).alias("ngram"))
+            .groupBy("ngram").agg(F.count("*").alias("cnt"))
+            .filter(F.col("cnt") >= int(min_count)))
+
+
+def _token_ngrams(w: Column, n: int) -> Column:
+    """All space-joined n-grams of token array ``w`` (empty when shorter
+    than ``n``), as one codegen'd higher-order expression."""
+    return F.when(
         F.size(w) >= n,
         F.transform(F.sequence(F.lit(1), F.size(w) - (n - 1)),
                     lambda i: F.array_join(F.slice(w, i, n), " "))
     ).otherwise(F.array().cast("array<string>"))
-    return (df.select(F.explode(grams).alias("ngram"))
-            .groupBy("ngram").agg(F.count("*").alias("cnt"))
-            .filter(F.col("cnt") >= int(min_count)))
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def contamination_flags(docs: DataFrame, benchmark: DataFrame, n: int = 8,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        bench_text_col: str = "text") -> DataFrame:
+    """Benchmark decontamination: for every corpus document, count how
+    many of its token n-gram occurrences also appear anywhere in
+    ``benchmark`` (the eval set a training corpus must not leak). Returns
+    ``(id, matched_grams)`` for contaminated documents only — join back
+    ``left_anti`` to drop them, or inspect the counts to audit.
+
+    The n-gram window is the standard decontamination control: long
+    windows (10-13 tokens) flag verbatim leakage; short ones are
+    aggressive.
+
+    Scale shape: the benchmark side (distinct grams of the eval set —
+    small by definition: benchmarks are thousands of items, the corpus is
+    billions) is explicitly ``broadcast()``; the corpus side explodes and
+    probes the broadcast hash table as a narrow map — the 100 TB corpus
+    is NEVER shuffled by the join. The only shuffle is the per-doc count
+    over the matching rows, which the join has already shrunk to the
+    contaminated sliver."""
+    bench_grams = (benchmark.select(
+        F.explode(_token_ngrams(tokens(F.col(bench_text_col)), n))
+        .alias("gram")).distinct())
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode(_token_ngrams(tokens(F.col(text_col)), n)).alias("gram"))
+    return (doc_grams.join(F.broadcast(bench_grams), "gram")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("matched_grams")))
+
+
+def drop_contaminated(docs: DataFrame, benchmark: DataFrame, n: int = 8,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      bench_text_col: str = "text") -> DataFrame:
+    """Keep only documents sharing NO token n-gram with ``benchmark`` —
+    :func:`contamination_flags` closed with a ``left_anti`` on the id
+    (small right side: contaminated ids only)."""
+    flagged = contamination_flags(docs, benchmark, n, id_col, text_col,
+                                  bench_text_col).select(id_col)
+    return docs.join(flagged, id_col, "left_anti")

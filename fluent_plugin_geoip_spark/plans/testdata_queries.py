@@ -1835,16 +1835,8 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     para ORDER BY doc_id, pos)`` and an ordered ``string_agg``. Byte-exact
     reassembled text, plus the per-doc paragraph totals."""
     from ..operators.curation import dedup_paragraphs
-    d = _documents(spark, sf_dir)
-    i = F.col("doc_id")
-    t = F.concat(
-        F.lit("intro "), i.cast("string"), F.lit(" "),
-        F.substring(F.col("text"), 1, 60),
-        F.lit("\nshared boilerplate footer "), (i % 7).cast("string"),
-        F.lit("\nsubscribe banner "), (i % 3).cast("string"),
-        F.lit("\n"), F.substring(F.col("text"), 61, 40))
-    pages = d.select("doc_id", t.alias("text"))
-    return dedup_paragraphs(pages).orderBy("doc_id")
+    return (dedup_paragraphs(_synth_pages(_documents(spark, sf_dir)))
+            .orderBy("doc_id"))
 
 
 ORACLE_PARAGRAPH_DEDUP = r"""
@@ -1915,6 +1907,150 @@ ORDER BY ngram
 """
 
 
+def _synth_pages(d) -> DataFrame:
+    """The 4-paragraph page construction shared by `paragraph_dedup` and
+    `incremental_paragraph_dedup` (and restated in both oracles)."""
+    i = F.col("doc_id")
+    t = F.concat(
+        F.lit("intro "), i.cast("string"), F.lit(" "),
+        F.substring(F.col("text"), 1, 60),
+        F.lit("\nshared boilerplate footer "), (i % 7).cast("string"),
+        F.lit("\nsubscribe banner "), (i % 3).cast("string"),
+        F.lit("\n"), F.substring(F.col("text"), 61, 40))
+    return d.select("doc_id", t.alias("text"))
+
+
+_PARA_STORES: dict[str, tuple[str, str]] = {}
+
+
+def _para_store(spark: SparkSession, sf_dir: str, corpus) -> tuple[str, str]:
+    """(store_dir, table) of the session-persistent phash-BUCKETED
+    paragraph store — the layout whose probe runs with no store-side
+    exchange, exercised end-to-end by the driver gate."""
+    import tempfile
+
+    from ..operators.curation import write_paragraph_store
+    cached = _PARA_STORES.get(sf_dir)
+    if (cached is None or not os.path.isdir(cached[0])
+            or not spark.catalog.tableExists(cached[1])):
+        store = tempfile.mkdtemp(prefix="geoip_parastore_")
+        table = write_paragraph_store(corpus, store, bucket_by=8)
+        _PARA_STORES[sf_dir] = cached = (store, table)
+    return cached
+
+
+def q_incremental_paragraph_dedup(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Incremental paragraph dedup — the production daily-batch form: the
+    corpus (doc_id % 4 != 0) paragraphs live in a persisted phash-BUCKETED
+    store (built once per session; the probe joins it with NO store-side
+    exchange); the batch (doc_id % 4 == 0) drops every paragraph already
+    in the store plus its own non-first repeats, and only the batch is
+    reassembled — the corpus is never re-exploded. The oracle recomputes
+    the corpus paragraph set and the batch's global-first rule in SQL."""
+    from ..operators.curation import incremental_dedup_paragraphs
+    pages = _synth_pages(_documents(spark, sf_dir))
+    corpus = pages.filter(F.col("doc_id") % 4 != 0)
+    batch = pages.filter(F.col("doc_id") % 4 == 0)
+    store, table = _para_store(spark, sf_dir, corpus)
+    return (incremental_dedup_paragraphs(batch, store, store_table=table)
+            .orderBy("doc_id"))
+
+
+ORACLE_INCR_PARAGRAPH = r"""
+WITH docs AS (
+  SELECT doc_id,
+         'intro ' || CAST(doc_id AS VARCHAR) || ' ' || substr(text, 1, 60)
+         || chr(10) || 'shared boilerplate footer '
+                    || CAST(doc_id % 7 AS VARCHAR)
+         || chr(10) || 'subscribe banner ' || CAST(doc_id % 3 AS VARCHAR)
+         || chr(10) || substr(text, 61, 40) AS t
+  FROM documents
+), paras AS (
+  SELECT doc_id,
+         unnest(string_split(t, chr(10))) AS para,
+         unnest(range(0, len(string_split(t, chr(10))))) AS pos
+  FROM docs
+), corpus_paras AS (
+  SELECT DISTINCT para FROM paras
+  WHERE doc_id % 4 != 0 AND length(para) >= 1
+), batch AS (
+  SELECT * FROM paras WHERE doc_id % 4 = 0
+), ranked AS (
+  SELECT doc_id, pos, para,
+         CASE WHEN length(para) < 1 THEN CAST(1 AS BIGINT)
+              ELSE row_number() OVER (PARTITION BY para
+                                      ORDER BY doc_id, pos) END AS rn
+  FROM batch
+), kept AS (
+  SELECT doc_id,
+         string_agg(para, chr(10) ORDER BY pos) AS text_dedup,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM ranked
+  WHERE rn = 1 AND (length(para) < 1
+                    OR para NOT IN (SELECT para FROM corpus_paras))
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(k.text_dedup, '') AS text_dedup,
+       CAST(len(string_split(d.t, chr(10))) AS BIGINT) AS n_paras,
+       coalesce(k.n_kept, 0) AS n_kept
+FROM docs d LEFT JOIN kept k USING (doc_id)
+WHERE d.doc_id % 4 = 0
+ORDER BY d.doc_id
+"""
+
+
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: the 'benchmark' is a deterministic slice
+    (`substr(text, 10, 120)`) of every 50th document — an eval set that by
+    construction leaks into the corpus — and
+    :func:`curation.contamination_flags` counts, per corpus document, its
+    5-gram occurrences appearing anywhere in that benchmark. The corpus
+    side probes a broadcast gram table (never shuffled — plan-pinned in
+    test_curation); the oracle re-derives both gram sets with indexed
+    list slices and replays the join + per-doc count."""
+    from ..operators.curation import contamination_flags
+    d = _documents(spark, sf_dir)
+    bench = (d.filter(F.col("doc_id") % 50 == 3)
+             .select(F.substring("text", 10, 120).alias("text")))
+    return contamination_flags(d, bench, n=5).orderBy("doc_id")
+
+
+ORACLE_CONTAMINATION = r"""
+WITH tok AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\s+') END AS l
+  FROM documents
+), dg AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(l) >= 5
+                     THEN list_transform(range(1, len(l) - 3),
+                                         i -> array_to_string(l[i:i+4], ' '))
+                     ELSE CAST([] AS VARCHAR[]) END) AS gram
+  FROM tok
+), btok AS (
+  SELECT CASE WHEN length(trim(substr(text, 10, 120))) = 0
+              THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(substr(text, 10, 120)), '\s+')
+         END AS l
+  FROM documents WHERE doc_id % 50 = 3
+), bg AS (
+  SELECT DISTINCT
+         unnest(CASE WHEN len(l) >= 5
+                     THEN list_transform(range(1, len(l) - 3),
+                                         i -> array_to_string(l[i:i+4], ' '))
+                     ELSE CAST([] AS VARCHAR[]) END) AS gram
+  FROM btok
+)
+SELECT dg.doc_id, CAST(count(*) AS BIGINT) AS matched_grams
+FROM dg JOIN bg USING (gram)
+GROUP BY dg.doc_id
+ORDER BY dg.doc_id
+"""
+
+
 QUERIES = {
     "geoip_enrich_country_counts": q_geoip_enrich_country_counts,
     "geoip_enrich_values": q_geoip_enrich_values,
@@ -1957,6 +2093,8 @@ QUERIES = {
     "corpus_sample_mix": q_corpus_sample_mix,
     "paragraph_dedup": q_paragraph_dedup,
     "ngram_corpus_counts": q_ngram_corpus_counts,
+    "contamination_check": q_contamination_check,
+    "incremental_paragraph_dedup": q_incremental_paragraph_dedup,
     "embedding_near_dups": q_embedding_near_dups,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -2014,6 +2152,8 @@ ORACLES = {
     "corpus_sample_mix": ORACLE_SAMPLE_MIX,
     "paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,
     "ngram_corpus_counts": ORACLE_NGRAM_COUNTS,
+    "contamination_check": ORACLE_CONTAMINATION,
+    "incremental_paragraph_dedup": ORACLE_INCR_PARAGRAPH,
     "embedding_near_dups": _near_dup_oracle_sql(),
     "multimodal_audio_stats": ORACLE_MULTIMODAL_AUDIO,
     "multimodal_video_frames": ORACLE_MULTIMODAL_VIDEO,

@@ -197,6 +197,154 @@ def test_ngram_counts_trigrams_window_slide(spark):
     assert got == {"a b c", "b c d"}
 
 
+# ---------------------------------------------------------------------------
+# incremental paragraph dedup against a persisted store
+# ---------------------------------------------------------------------------
+
+def _mkdocs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_incremental_paragraph_dedup_plain_store(spark, tmp_path):
+    store = str(tmp_path / "parastore")
+    corpus = _mkdocs(spark, [(1, "old news\nshared footer"),
+                             (2, "other stuff\nshared footer")])
+    curation.write_paragraph_store(corpus, store)
+    batch = _mkdocs(spark, [(10, "fresh content\nshared footer"),
+                            (11, "fresh content\nmore fresh")])
+    got = {r.doc_id: r for r in curation.incremental_dedup_paragraphs(
+        batch, store).collect()}
+    # footer is in the store → dropped; 'fresh content' kept once (doc 10
+    # is the batch's first carrier), doc 11 keeps only its unique para
+    assert got[10].text_dedup == "fresh content"
+    assert got[11].text_dedup == "more fresh"
+    assert (got[10].n_paras, got[10].n_kept) == (2, 1)
+
+
+def test_incremental_paragraph_store_update_and_replay(spark, tmp_path):
+    store = str(tmp_path / "parastore")
+    curation.write_paragraph_store(
+        _mkdocs(spark, [(1, "seen before")]), store, batch_id=0)
+    batch = _mkdocs(spark, [(10, "novel para\nseen before")])
+    out1 = curation.incremental_dedup_paragraphs(
+        batch, store, update_store=True, store_batch_id=1).collect()
+    assert out1[0].text_dedup == "novel para"
+    # the update appended 'novel para' under batch_id=1: a SECOND batch
+    # carrying it now dedups against the store
+    batch2 = _mkdocs(spark, [(20, "novel para\nreally new")])
+    out2 = curation.incremental_dedup_paragraphs(batch2, store).collect()
+    assert out2[0].text_dedup == "really new"
+    # REPLAY of batch 1 (crash-retry): its own store partition is excluded
+    # from the probe and dynamically overwritten — same result, no
+    # self-dedup, no duplicate store rows
+    replay = curation.incremental_dedup_paragraphs(
+        batch, store, update_store=True, store_batch_id=1).collect()
+    assert replay[0].text_dedup == "novel para"
+    rows = spark.read.parquet(store).filter("para = 'novel para'").count()
+    assert rows == 1
+
+
+def test_incremental_paragraph_dedup_bucketed_no_store_exchange(
+        spark, tmp_path):
+    """The phash-bucketed paragraph store must feed its probe join with NO
+    store-side exchange (only the new batch shuffles) — the same pinned
+    plan shape as the bucketed signature store in test_plans.py."""
+    from pyspark.sql import functions as F
+
+    store = str(tmp_path / "parastore_b")
+    corpus = _mkdocs(spark, [(i, f"common footer\nbody {i}")
+                             for i in range(20)])
+    table = curation.write_paragraph_store(corpus, store, bucket_by=4,
+                                           table="t_para_store_pin")
+    try:
+        batch = _mkdocs(spark, [(100, "common footer\nbrand new body")])
+        out = curation.incremental_dedup_paragraphs(
+            batch, store, store_table=table)
+        assert out.head().text_dedup == "brand new body"
+
+        # isolate the probe join itself (the full operator plan also has
+        # the reassembly aggregates) and pin the non-broadcast form
+        probe = (spark.createDataFrame([("common footer",)], "para string")
+                 .withColumn("phash", F.xxhash64("para"))
+                 .join(spark.table(table).select(
+                     "phash", F.col("para").alias("__sp")), "phash"))
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = probe._jdf.queryExecution().explainString(
+                probe.sparkSession._jvm.org.apache.spark.sql.execution
+                .ExplainMode.fromString("simple"))
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        assert "Bucketed: true" in plan, plan
+        assert plan.count("Exchange") == 1, plan        # batch side only
+        assert "Exchange" not in plan[plan.index("FileScan"):], plan
+
+        # refusal: update_store with a bucketed table
+        with pytest.raises(ValueError, match="bucket"):
+            curation.incremental_dedup_paragraphs(
+                batch, store, store_table=table, update_store=True)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def test_contamination_flags_counts_occurrences(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"),     # contains bench bigram twice? no: once
+         (2, "beta gamma beta gamma x"),    # 'beta gamma' occurs twice
+         (3, "nothing shared here")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame([("beta gamma epsilon",)], "text string")
+    got = {r.doc_id: r.matched_grams for r in
+           curation.contamination_flags(docs, bench, n=2).collect()}
+    # bench bigrams: {'beta gamma', 'gamma epsilon'}
+    assert got == {1: 1, 2: 2}
+
+
+def test_drop_contaminated_keeps_clean_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"),
+         (2, "beta gamma beta gamma x"),
+         (3, "nothing shared here")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame([("beta gamma epsilon",)], "text string")
+    kept = sorted(r.doc_id for r in
+                  curation.drop_contaminated(docs, bench, n=2).collect())
+    assert kept == [3]
+    # a longer window is stricter about what counts as leakage: no doc
+    # shares a 4-gram with the benchmark, so all survive
+    all_kept = sorted(r.doc_id for r in
+                      curation.drop_contaminated(docs, bench, n=4).collect())
+    assert all_kept == [1, 2, 3]
+
+
+def test_contamination_benchmark_is_broadcast_no_corpus_shuffle(spark):
+    # the corpus side must probe a broadcast hash table, never shuffle
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2}") for i in range(50)],
+        "doc_id long, text string")
+    bench = spark.createDataFrame([("w3 w4",)], "text string")
+    flagged = curation.contamination_flags(docs, bench, n=2)
+    plan = flagged._jdf.queryExecution().explainString(
+        flagged.sparkSession._jvm.org.apache.spark.sql.execution
+        .ExplainMode.fromString("formatted"))
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree, tree
+    # the streamed (corpus) side of the join — the tree lines between the
+    # join node and its BroadcastExchange build side — must be shuffle-free;
+    # the only shuffles are the benchmark's own tiny distinct and the
+    # per-doc count AFTER the probe has shrunk the data
+    corpus_branch = tree[tree.index("BroadcastHashJoin"):
+                         tree.index("BroadcastExchange")]
+    assert "Exchange" not in corpus_branch, tree
+    shuffles = tree.count("Exchange") - tree.count("BroadcastExchange")
+    assert shuffles == 2, tree
+
+
 def test_stratified_sample_rates_and_default(spark):
     rows = [(i, ["en", "de", "xx"][i % 3]) for i in range(3000)]
     df = spark.createDataFrame(rows, "k long, lang string")
