@@ -304,7 +304,8 @@ def incremental_dedup_paragraphs(batch: DataFrame, store_dir: str,
                                  min_chars: int = 1,
                                  update_store: bool = False,
                                  store_batch_id: int | None = None,
-                                 store_table: str | None = None
+                                 store_table: str | None = None,
+                                 store_df: DataFrame | None = None
                                  ) -> DataFrame:
     """Incremental cross-document paragraph dedup: the production form
     where daily crawl batches arrive against an ever-growing corpus. A
@@ -328,7 +329,12 @@ def incremental_dedup_paragraphs(batch: DataFrame, store_dir: str,
     paragraphs under ``batch_id=<store_batch_id>/`` with dynamic partition
     overwrite — a re-delivered batch REPLACES its own partition (replay-
     idempotent), and the probe excludes the replaying batch's own rows, so
-    update-then-retry cannot dedup the batch against itself."""
+    update-then-retry cannot dedup the batch against itself.
+
+    ``store_df`` overrides the store read (the streaming handler passes an
+    empty frame for the first micro-batch, when the store dir does not
+    exist yet, and a pre-filtered view otherwise); it must carry
+    ``(phash, para)``."""
     if store_table is not None and update_store:
         raise ValueError(
             "update_store is not supported with store_table; append via "
@@ -343,7 +349,8 @@ def incremental_dedup_paragraphs(batch: DataFrame, store_dir: str,
         .withColumn("phash", F.xxhash64("para")))
 
     if store_table is not None:
-        store = spark.table(store_table)
+        store = (store_df if store_df is not None
+                 else spark.table(store_table))
         # phash-only equi-join keeps the bucketed scan exchange-free; the
         # in-task string compare removes hash collisions exactly
         hits = (winners.join(store.select("phash",
@@ -353,8 +360,9 @@ def incremental_dedup_paragraphs(batch: DataFrame, store_dir: str,
                 .select(id_col, "pos").distinct())
         new_kept = winners.join(hits, [id_col, "pos"], "left_anti")
     else:
-        store = spark.read.parquet(store_dir)
-        if store_batch_id is not None:
+        store = (store_df if store_df is not None
+                 else spark.read.parquet(store_dir))
+        if store_df is None and store_batch_id is not None:
             # exclude the replaying batch's own partition (replay safety)
             store = store.filter(F.col("batch_id") != int(store_batch_id))
         new_kept = winners.join(store.select("phash", "para"),

@@ -348,3 +348,90 @@ def make_incremental_dedup_handler(
         batch_df.unpersist()
 
     return handle_batch
+
+
+def start_paragraph_dedup_stream(
+    spark: SparkSession,
+    source_dir: str,
+    store_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_chars: int = 1,
+    max_files_per_trigger: int = 4,
+    docs_schema: str = "doc_id long, text string",
+):
+    """Streaming cross-document paragraph dedup — the continuous form of
+    ``operators.curation.incremental_dedup_paragraphs``: each micro-batch
+    of documents drops every paragraph already in the persisted paragraph
+    store (plus its own non-first repeats), writes the cleaned documents
+    under ``out_dir/batch_id=<n>/``, and appends its surviving new
+    paragraphs to the store so the NEXT micro-batch — and any batch job —
+    sees them. All state lives in storage (no unbounded streaming state);
+    resume needs only the checkpoint.
+
+    ``source_dir`` must hold parquet files at its TOP level (the layout
+    every file-source stream here uses — append files, don't nest
+    per-chunk directories: Spark's file stream source discovers nested
+    dirs nondeterministically)."""
+    handle_batch = make_paragraph_dedup_handler(
+        store_dir, out_dir, id_col=id_col, text_col=text_col, sep=sep,
+        min_chars=min_chars)
+    stream = (spark.readStream.schema(docs_schema)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .parquet(source_dir))
+    return (stream.writeStream.foreachBatch(handle_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append").start())
+
+
+def make_paragraph_dedup_handler(
+    store_dir: str,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_chars: int = 1,
+):
+    """foreachBatch handler for streaming paragraph dedup, exposed
+    standalone so replay/crash recovery is directly testable (the
+    incremental-dedup handler's protocol, applied to the paragraph store):
+
+    - the paragraph store is ``batch_id``-partitioned and written with
+      dynamic partition overwrite — a re-delivered batch REPLACES exactly
+      its own partition, never duplicating store rows;
+    - the probe reads the store EXCLUDING the replaying batch's own
+      partition (partition-pruned filter), so rows written by a failed
+      earlier attempt of this batch cannot dedup the batch against itself;
+    - the cleaned-docs output is ``out_dir/batch_id=<n>/`` dynamic
+      overwrite — replay rewrites the same rows;
+    - the store dir's existence is checked through the Hadoop FS API
+      before reading, so the first micro-batch (no store yet) and a crash
+      between the two writes both replay cleanly from any point."""
+    from ..operators.curation import incremental_dedup_paragraphs
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        batch_df = batch_df.select(id_col, text_col).persist()
+        if batch_df.count() == 0:
+            batch_df.unpersist()
+            return
+        fs, store_path, _ = _fs_for(sp, store_dir)
+        if fs.exists(store_path):
+            store = (sp.read.parquet(store_dir)
+                     .filter(F.col("batch_id") != batch_id)
+                     .select("phash", "para"))
+        else:
+            store = sp.createDataFrame([], "phash long, para string")
+        cleaned = incremental_dedup_paragraphs(
+            batch_df, store_dir, id_col=id_col, text_col=text_col, sep=sep,
+            min_chars=min_chars, update_store=True, store_batch_id=batch_id,
+            store_df=store)
+        (cleaned.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite").partitionBy("batch_id").parquet(out_dir))
+        batch_df.unpersist()
+
+    return handle_batch

@@ -528,3 +528,48 @@ def test_streaming_bucketed_probe_no_store_side_exchange(spark, tmp_path):
     assert plan.count("Exchange") == 1, plan
     assert "Exchange" not in plan[plan.index("FileScan"):], plan
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_paragraph_dedup_handler_and_crash_replay(spark, tmp_path):
+    """Streaming paragraph dedup: each micro-batch drops paragraphs already
+    in the store plus its own non-first repeats; state is batch_id-
+    partitioned dynamic overwrite, so re-delivery after any crash point
+    converges (no self-dedup, no duplicate store rows)."""
+    import shutil as _sh
+
+    from fluent_plugin_geoip_spark.streaming.stream import (
+        make_paragraph_dedup_handler,
+    )
+    store = str(tmp_path / "parastore")
+    out = str(tmp_path / "cleaned")
+    h = make_paragraph_dedup_handler(store, out)
+
+    b0 = spark.createDataFrame(
+        [(1, "unique one\nshared footer"), (2, "unique two\nshared footer")],
+        "doc_id long, text string")
+    h(b0, 0)
+    got0 = {r.doc_id: r.text_dedup for r in spark.read.parquet(out)
+            .filter("batch_id = 0").collect()}
+    assert got0 == {1: "unique one\nshared footer", 2: "unique two"}
+    store_rows = spark.read.parquet(store).count()
+    assert store_rows == 3  # unique one, shared footer, unique two
+
+    # batch 1 sees batch 0's paragraphs through the store
+    b1 = spark.createDataFrame(
+        [(10, "unique two\nbrand new")], "doc_id long, text string")
+    h(b1, 1)
+    got1 = {r.doc_id: r.text_dedup for r in spark.read.parquet(out)
+            .filter("batch_id = 1").collect()}
+    assert got1 == {10: "brand new"}
+
+    # crash point: batch 1 updated the store, then crashed before the
+    # cleaned-docs write; replay must not self-dedup or duplicate rows
+    _sh.rmtree(f"{out}/batch_id=1")
+    h(b1, 1)
+    got1r = {r.doc_id: r.text_dedup for r in spark.read.parquet(out)
+             .filter("batch_id = 1").collect()}
+    assert got1r == got1
+    assert spark.read.parquet(store).filter("para = 'brand new'").count() == 1
+    # empty batch is a no-op
+    h(spark.createDataFrame([], "doc_id long, text string"), 2)
+    assert spark.read.parquet(store).count() == 4
