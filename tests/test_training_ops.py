@@ -854,3 +854,19 @@ def test_cluster_table_reuse_across_curation_passes(spark, tmp_path):
     plan = pass_en._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "EvalPython" not in plan
     assert "FlatMapsInPandas" not in plan and "MapInPandas" not in plan
+
+
+def test_minhash_prefilter_margin_preserves_output(spark, docs):
+    """The signature estimate screen (round 7) must be output-invariant:
+    with the default margin, screened and unscreened runs return the
+    identical verified pair set — the screen only removes candidates whose
+    estimated J sits ≥8σ below the threshold, which no true pair does."""
+    sample = docs.filter(F.col("doc_id") < 300)
+    screened = {(r.id_a, r.id_b, r.jaccard) for r in dedup.minhash_lsh_dedup(
+        sample, threshold=0.8, bands=32, rows=4, num_hashes=128,
+        exact_grams=True, max_bucket=1_000_000).collect()}
+    unscreened = {(r.id_a, r.id_b, r.jaccard) for r in dedup.minhash_lsh_dedup(
+        sample, threshold=0.8, bands=32, rows=4, num_hashes=128,
+        exact_grams=True, max_bucket=1_000_000,
+        prefilter_margin=None).collect()}
+    assert screened == unscreened and len(screened) > 0
