@@ -534,7 +534,9 @@ def release_checkpoint(df: DataFrame) -> None:
 
 
 def connected_components(pairs: DataFrame, max_iters: int = 25,
-                         algorithm: str = "auto") -> DataFrame:
+                         algorithm: str = "auto",
+                         initial_labels: DataFrame | None = None
+                         ) -> DataFrame:
     """(id_a, id_b) near-dup edges → (id, component) where ``component`` is
     the minimum doc id reachable through the pair graph — the clustering
     step a production dedup pipeline runs AFTER pair generation, so "keep
@@ -565,20 +567,39 @@ def connected_components(pairs: DataFrame, max_iters: int = 25,
     ever resident. The RETURNED labels are checkpoint-backed — the caller
     owns releasing them with :func:`release_checkpoint` once fully
     consumed (after which they cannot be recomputed).
-    """
+
+    ``initial_labels`` (optional, label_prop only — star recomputes from
+    scratch): an (id, comp) seeding. When the caller already KNOWS a valid
+    partial labeling — :func:`update_clusters` knows every touched
+    cluster's current component — seeding collapses those clusters in
+    round zero and propagation only has to cross the NEW bridge edges,
+    cutting rounds from ~(cluster depth + bridge hops) to ~bridge hops.
+    Sound for any seeding where each seed label is the id of a node in the
+    same component and ≤ the node's own id: labels only decrease, every
+    propagated value stays a same-component node id, so the converged
+    fixpoint is still exactly the component minimum. Ids absent from the
+    seeding start at their own id, as without seeding."""
     if algorithm not in ("auto", "label_prop", "star"):
         raise ValueError(
             f"algorithm must be 'auto'|'label_prop'|'star', got {algorithm!r}")
+    # localCheckpoint, not persist: the loop re-ANALYZES its whole logical
+    # plan on every round's action, and when `pairs` hangs off a deep
+    # lineage (a probe through a bucketed catalog table, an LSH pipeline),
+    # per-round plan compilation alone dwarfs the tiny subgraph's compute —
+    # measured 8–10 s/round vs ~1 s on an identical graph with flat
+    # lineage. Checkpointing cuts the lineage so every round plans against
+    # a LogicalRDD leaf. (Same executor-loss caveat as the labels
+    # checkpoints, documented below.)
     edges = (pairs.select(F.col("id_a").alias("src"),
                           F.col("id_b").alias("dst"))
              .union(pairs.select(F.col("id_b").alias("src"),
                                  F.col("id_a").alias("dst")))
-             .distinct().persist())
+             .distinct().localCheckpoint())
     if algorithm == "star":
         try:
             return _star_components(edges, max_iters)
         finally:
-            edges.unpersist()
+            release_checkpoint(edges)
     # Each round MUST truncate lineage, not merely cache: persist() leaves
     # the logical plan nesting one join deeper per round, and by ~12
     # rounds plan compilation itself OOMs the driver. localCheckpoint
@@ -586,8 +607,16 @@ def connected_components(pairs: DataFrame, max_iters: int = 25,
     # plan two joins deep. (On a multi-executor cluster prefer reliable
     # `checkpoint()` + setCheckpointDir — localCheckpoint state dies with
     # an executor; identical plan shape either way.)
-    labels = (edges.select(F.col("src").alias("id")).distinct()
-              .withColumn("comp", F.col("id")).localCheckpoint())
+    ids = edges.select(F.col("src").alias("id")).distinct()
+    if initial_labels is None:
+        labels = ids.withColumn("comp", F.col("id")).localCheckpoint()
+    else:
+        labels = (ids.join(initial_labels.select(
+                      F.col("id"), F.col("comp").alias("__seed")),
+                      "id", "left")
+                  .select("id", F.coalesce("__seed", F.col("id"))
+                          .alias("comp"))
+                  .localCheckpoint())
     for _ in range(max_iters):
         neigh = (edges.join(labels, edges.dst == labels.id)
                  .groupBy("src").agg(F.min("comp").alias("ncomp")))
@@ -607,7 +636,7 @@ def connected_components(pairs: DataFrame, max_iters: int = 25,
         release_checkpoint(labels)
         labels = new_labels
         if changed == 0:
-            edges.unpersist()
+            release_checkpoint(edges)
             # the returned labels are checkpoint-backed; the CALLER owns
             # releasing them via release_checkpoint() once consumed
             return labels
@@ -624,8 +653,8 @@ def connected_components(pairs: DataFrame, max_iters: int = 25,
             # deliberately tight label-prop budget
             return _star_components(edges, max(max_iters, 25))
         finally:
-            edges.unpersist()
-    edges.unpersist()
+            release_checkpoint(edges)
+    release_checkpoint(edges)
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} rounds — "
         "graph diameter exceeds the dedup-shaped assumption; use "
@@ -800,8 +829,13 @@ def update_clusters(clusters: DataFrame, new_pairs: DataFrame,
     star_edges = (affected.filter(F.col("id") != F.col("comp"))
                   .select(F.col("comp").alias("id_a"),
                           F.col("id").alias("id_b")))
-    labels = connected_components(star_edges.union(
-        new_pairs.select("id_a", "id_b")), max_iters, algorithm)
+    # seed the propagation with the clusters' CURRENT labels: every
+    # touched cluster starts already collapsed, so rounds scale with the
+    # new bridges' hop count, not cluster depth (each label-prop round is
+    # a full job — rounds are the dominant cost of a small update)
+    labels = connected_components(
+        star_edges.union(new_pairs.select("id_a", "id_b")), max_iters,
+        algorithm, initial_labels=affected.select("id", "comp"))
     untouched = clusters.join(affected_comps, "comp", "left_anti")
     out = (untouched.select("id", "comp", "keep")
            .union(labels.select(
@@ -939,6 +973,13 @@ def signature_band_entries(df: DataFrame, id_col: str = "doc_id",
                     "id"))
 
 
+def sig_store_path(store_dir: str) -> str:
+    """Location of the optional (id, sig) companion table a signature
+    store keeps when written with ``keep_sigs=True`` — a SIBLING of the
+    band-entry store so the bucketed ``saveAsTable`` root stays clean."""
+    return f"{store_dir.rstrip('/')}_sigs"
+
+
 def write_signature_store(df: DataFrame, store_dir: str,
                           id_col: str = "doc_id", text_col: str = "text",
                           n: int = 5, num_hashes: int = 128, bands: int = 16,
@@ -946,7 +987,8 @@ def write_signature_store(df: DataFrame, store_dir: str,
                           use_pandas_sig: bool = True,
                           mode: str = "overwrite",
                           bucket_by: int | None = None,
-                          table: str | None = None) -> str | None:
+                          table: str | None = None,
+                          keep_sigs: bool = False) -> str | None:
     """Persist a corpus's band entries as the incremental-dedup store.
 
     ``bucket_by=N`` writes the store as a KEY-BUCKETED external table
@@ -961,7 +1003,26 @@ def write_signature_store(df: DataFrame, store_dir: str,
     (round-6 VERDICT item 3); at a 16-trillion-row store, shuffling the
     store per probe would dwarf everything else the pipeline does.
     ``bucket_by=None`` keeps the plain band-partitioned parquet layout
-    (returns None)."""
+    (returns None).
+
+    ``keep_sigs=True`` additionally persists the corpus's full signatures
+    as an (id, sig) table at :func:`sig_store_path` — the companion the
+    probe's estimate screen reads (``sig_store_dir`` on
+    :func:`incremental_minhash_dedup`), so mid-similarity candidates are
+    dropped from the number the signatures already imply instead of
+    shipping both documents' gram arrays through the verify join. Costs
+    ``num_hashes`` ints per doc of extra store; the corpus is still
+    signatured exactly once."""
+    if keep_sigs:
+        if use_pandas_sig:
+            sig_df = minhash_signatures_pandas(df, id_col, text_col, n,
+                                               num_hashes, seed=seed)
+        else:
+            sig_df = df.select(F.col(id_col).alias("id"),
+                               minhash_signature(F.col(text_col), n,
+                                                 num_hashes, seed=seed)
+                               .alias("sig"))
+        sig_df.write.mode(mode).parquet(sig_store_path(store_dir))
     entries = signature_band_entries(df, id_col, text_col, n, num_hashes,
                                      bands, rows, seed, use_pandas_sig)
     if bucket_by is None:
@@ -996,6 +1057,8 @@ def incremental_minhash_dedup(
     store_df: DataFrame | None = None,
     store_batch_id: int | None = None,
     store_table: str | None = None,
+    use_sig_store: bool = False,
+    prefilter_margin: float = 0.28,
 ) -> DataFrame:
     """Near-dup pairs touching the NEW batch only: (id_a, id_b, jaccard)
     with id_a < id_b and at least one side in ``new_docs``. Corpus
@@ -1079,6 +1142,51 @@ def incremental_minhash_dedup(
 
     cands = cross.union(within).distinct().persist()
     cands.count()  # materialize candidates, then free the probe entries
+    if use_sig_store and _store_bytes(spark, sig_store_path(store_dir)) is None:
+        log.warning(
+            "incremental_minhash_dedup: use_sig_store=True but %s does not "
+            "exist (store written without keep_sigs?) — skipping the "
+            "estimate screen", sig_store_path(store_dir))
+        use_sig_store = False
+    if use_sig_store:
+        # estimate screen (the minhash_lsh_dedup design applied to the
+        # incremental probe): corpus signatures come from the store's
+        # (id, sig) companion table (write_signature_store(keep_sigs=True),
+        # read from sig_store_path(store_dir)) — the corpus is STILL never
+        # re-signatured — and the batch re-runs its own (batch-sized)
+        # kernel; candidates whose estimated J sits prefilter_margin
+        # (~8σ at num_hashes=128) under the threshold never ship gram
+        # arrays. LEFT joins + null-keep: a candidate with no stored sig
+        # (e.g. a store appended without keep_sigs) is passed through to
+        # the exact verifier, never silently dropped — staleness is a
+        # performance matter, not a correctness one.
+        cutoff = max(0.0, threshold - float(prefilter_margin))
+        batch_sigs = minhash_signatures_pandas(
+            new_docs, id_col, text_col, n, num_hashes, seed=seed) \
+            if use_pandas_sig else \
+            new_docs.select(F.col(id_col).alias("id"),
+                            minhash_signature(F.col(text_col), n,
+                                              num_hashes, seed=seed)
+                            .alias("sig"))
+        all_sigs = (spark.read.parquet(sig_store_path(store_dir))
+                    .select("id", "sig").unionByName(batch_sigs)
+                    .persist())
+        est = F.size(F.filter(
+            F.zip_with("__sa", "__sb", lambda a, b: a == b),
+            lambda x: x)) / F.lit(float(num_hashes))
+        screened = (cands
+                    .join(all_sigs.withColumnsRenamed(
+                        {"id": "id_a", "sig": "__sa"}), "id_a", "left")
+                    .join(all_sigs.withColumnsRenamed(
+                        {"id": "id_b", "sig": "__sb"}), "id_b", "left")
+                    .filter(F.col("__sa").isNull() | F.col("__sb").isNull()
+                            | (est >= cutoff))
+                    .select("id_a", "id_b")
+                    .persist())
+        screened.count()
+        all_sigs.unpersist()
+        cands.unpersist()
+        cands = screened
     all_docs = (corpus_docs.select(F.col(id_col), F.col(text_col))
                 .unionByName(new_docs.select(F.col(id_col), F.col(text_col))))
     verified = ngram_jaccard_pairs(all_docs, id_col, text_col, n, threshold,

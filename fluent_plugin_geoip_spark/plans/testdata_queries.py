@@ -1078,7 +1078,7 @@ def q_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = incremental_minhash_dedup(
         new, corpus, store, bands=32, rows=4, num_hashes=128,
         threshold=0.8, exact_grams=True, max_bucket=1_000_000,
-        store_table=table)
+        store_table=table, use_sig_store=True)
     updated = update_clusters(clusters, pairs.select("id_a", "id_b"))
     out = (updated
            .select(F.col("id").alias("doc_id"),
@@ -1612,12 +1612,15 @@ def _incremental_store(spark: SparkSession, sf_dir: str,
     import tempfile
 
     from ..operators.dedup import write_signature_store
+    from ..operators.dedup import sig_store_path
     cached = _INCR_STORES.get(sf_dir)
     if (cached is None or not os.path.isdir(cached[0])
+            or not os.path.isdir(sig_store_path(cached[0]))
             or not spark.catalog.tableExists(cached[1])):
         store = tempfile.mkdtemp(prefix="geoip_sigstore_")
         table = write_signature_store(corpus, store, bands=32, rows=4,
-                                      num_hashes=128, bucket_by=16)
+                                      num_hashes=128, bucket_by=16,
+                                      keep_sigs=True)
         _INCR_STORES[sf_dir] = cached = (store, table)
     return cached
 
@@ -1631,7 +1634,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (incremental_minhash_dedup(
                 new, corpus, store, bands=32, rows=4, num_hashes=128,
                 threshold=0.8, exact_grams=True, max_bucket=1_000_000,
-                store_table=table)
+                store_table=table, use_sig_store=True)
             .select("id_a", "id_b", "jaccard").orderBy("id_a", "id_b"))
 
 

@@ -870,3 +870,31 @@ def test_minhash_prefilter_margin_preserves_output(spark, docs):
         exact_grams=True, max_bucket=1_000_000,
         prefilter_margin=None).collect()}
     assert screened == unscreened and len(screened) > 0
+
+
+def test_incremental_sig_store_screen_preserves_output(spark, tmp_path):
+    """The incremental probe's estimate screen (use_sig_store=True) must be
+    output-invariant vs the unscreened probe, and must degrade gracefully
+    (skip, not fail or drop pairs) when the store has no sig companion."""
+    corpus = spark.createDataFrame(
+        [(i, f"corpus document number {i} text " * 3) for i in range(20)],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(100, "corpus document number 3 text " * 3)],
+        "doc_id long, text string")
+    store = str(tmp_path / "store")
+    dedup.write_signature_store(corpus, store, bands=16, rows=8,
+                                keep_sigs=True)
+    import os
+    assert os.path.isdir(dedup.sig_store_path(store))
+    screened = dedup.incremental_minhash_dedup(
+        new, corpus, store, bands=16, rows=8, threshold=0.8,
+        exact_grams=True, use_sig_store=True)
+    assert {(r.id_a, r.id_b) for r in screened.collect()} == {(3, 100)}
+    # store without the companion: the screen skips itself with a warning
+    store2 = str(tmp_path / "store2")
+    dedup.write_signature_store(corpus, store2, bands=16, rows=8)
+    plain = dedup.incremental_minhash_dedup(
+        new, corpus, store2, bands=16, rows=8, threshold=0.8,
+        exact_grams=True, use_sig_store=True)
+    assert {(r.id_a, r.id_b) for r in plain.collect()} == {(3, 100)}
