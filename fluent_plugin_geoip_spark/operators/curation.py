@@ -25,6 +25,7 @@ import re
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ..confutil import dynamic_overwrite
 from .textstats import tokens
 
 # ---------------------------------------------------------------------------
@@ -373,11 +374,11 @@ def incremental_dedup_paragraphs(batch: DataFrame, store_dir: str,
     out = _reassemble(batch, kept, id_col, text_col, sep)
 
     if update_store:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        (new_kept.select("phash", "para").distinct()
-         .withColumn("batch_id", F.lit(int(store_batch_id)))
-         .write.mode("overwrite").partitionBy("batch_id")
-         .parquet(store_dir))
+        with dynamic_overwrite(spark):
+            (new_kept.select("phash", "para").distinct()
+             .withColumn("batch_id", F.lit(int(store_batch_id)))
+             .write.mode("overwrite").partitionBy("batch_id")
+             .parquet(store_dir))
     return out
 
 

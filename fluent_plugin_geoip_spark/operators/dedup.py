@@ -27,6 +27,8 @@ import logging
 import numpy as np
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from ..confutil import dynamic_overwrite
+
 log = logging.getLogger(__name__)
 
 _P = 2_147_483_647  # 2^31-1, prime: a*h+b stays < 2^62 (no int64 overflow)
@@ -299,6 +301,29 @@ def lsh_candidate_pairs(df: DataFrame, sig_col: str, id_col: str = "id",
     return pairs
 
 
+def _screen_margin(margin: float | str, threshold: float,
+                   num_hashes: int) -> float:
+    """Resolve the estimate-screen margin. ``"auto"`` →
+    ``8·sqrt(threshold·(1−threshold)/num_hashes)`` — 8σ of the
+    Binomial(num_hashes, J)/num_hashes Jaccard estimate at J=threshold,
+    so the per-pair drop probability for a true ≥threshold pair stays in
+    the ~1e-16 class REGARDLESS of signature length (round-7 ADVICE: a
+    fixed margin was 8σ only at num_hashes=128). An explicit float is
+    honored but warned about when it falls under the 6σ class."""
+    import math
+    sigma = math.sqrt(threshold * (1.0 - threshold) / num_hashes)
+    if margin == "auto":
+        return 8.0 * sigma
+    m = float(margin)
+    if sigma > 0 and m / sigma < 6.0:
+        log.warning(
+            "prefilter_margin=%.3f is only %.1fσ at num_hashes=%d "
+            "(threshold=%.2f) — true near-duplicate pairs may be screened "
+            "out; pass 'auto' for an 8σ margin", m, m / sigma, num_hashes,
+            threshold)
+    return m
+
+
 def minhash_lsh_dedup(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", n: int = 5,
                       num_hashes: int = 128, bands: int = 16, rows: int = 8,
@@ -306,7 +331,8 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str = "doc_id",
                       max_bucket: int = 200,
                       use_pandas_sig: bool = True,
                       exact_grams: bool = False,
-                      prefilter_margin: float | None = 0.28) -> DataFrame:
+                      prefilter_margin: float | None | str = "auto",
+                      ) -> DataFrame:
     """Near-duplicate pairs: MinHash-LSH candidates verified by exact
     n-gram Jaccard. Returns (id_a, id_b, jaccard).
 
@@ -319,7 +345,13 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str = "doc_id",
     join, candidates are screened by the ESTIMATED Jaccard their already-
     computed signatures give for free — matching components / num_hashes —
     and dropped when the estimate falls below ``threshold −
-    prefilter_margin``. On a corpus with high background similarity
+    prefilter_margin``. The default ``"auto"`` derives the margin from
+    the signature length — ``8·sqrt(threshold·(1−threshold)/num_hashes)``,
+    i.e. 8σ of the Binomial estimate — so a caller shrinking
+    ``num_hashes`` widens the screen instead of silently degrading its
+    recall class (round-7 ADVICE: a fixed 0.28 was 8σ only at
+    num_hashes=128; at 32 it would have been ~4σ). On a corpus with high
+    background similarity
     (synthetic or boilerplate-heavy web text), candidate counts are driven
     by mid-J pairs whose s-curve collision odds are non-negligible; each
     such pair otherwise ships BOTH documents' full gram arrays (~4 KB a
@@ -349,7 +381,8 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str = "doc_id",
     cands = lsh_candidate_pairs(sigs, "sig", bands=bands, rows=rows,
                                 max_bucket=max_bucket)
     if prefilter_margin is not None:
-        cutoff = max(0.0, threshold - float(prefilter_margin))
+        cutoff = max(0.0, threshold - _screen_margin(
+            prefilter_margin, threshold, num_hashes))
         est = F.size(F.filter(
             F.zip_with("__sa", "__sb", lambda a, b: a == b),
             lambda x: x)) / F.lit(float(num_hashes))
@@ -611,10 +644,17 @@ def connected_components(pairs: DataFrame, max_iters: int = 25,
     if initial_labels is None:
         labels = ids.withColumn("comp", F.col("id")).localCheckpoint()
     else:
+        # clamp seeds to ≤ id (round-7 ADVICE): label propagation's
+        # invariant is comp ≤ id — a seed ABOVE the node id (or a phantom
+        # comp not in the subgraph) could converge to a non-minimum or
+        # phantom label, and downstream keep=(id==comp) would then drop a
+        # whole cluster. least(coalesce(seed, id), id) preserves the
+        # documented contract (seeds are prior min-labels) for free.
         labels = (ids.join(initial_labels.select(
                       F.col("id"), F.col("comp").alias("__seed")),
                       "id", "left")
-                  .select("id", F.coalesce("__seed", F.col("id"))
+                  .select("id", F.least(F.coalesce("__seed", F.col("id")),
+                                        F.col("id"))
                           .alias("comp"))
                   .localCheckpoint())
     for _ in range(max_iters):
@@ -1058,7 +1098,7 @@ def incremental_minhash_dedup(
     store_batch_id: int | None = None,
     store_table: str | None = None,
     use_sig_store: bool = False,
-    prefilter_margin: float = 0.28,
+    prefilter_margin: float | str = "auto",
 ) -> DataFrame:
     """Near-dup pairs touching the NEW batch only: (id_a, id_b, jaccard)
     with id_a < id_b and at least one side in ``new_docs``. Corpus
@@ -1160,7 +1200,8 @@ def incremental_minhash_dedup(
         # (e.g. a store appended without keep_sigs) is passed through to
         # the exact verifier, never silently dropped — staleness is a
         # performance matter, not a correctness one.
-        cutoff = max(0.0, threshold - float(prefilter_margin))
+        cutoff = max(0.0, threshold - _screen_margin(
+            prefilter_margin, threshold, num_hashes))
         batch_sigs = minhash_signatures_pandas(
             new_docs, id_col, text_col, n, num_hashes, seed=seed) \
             if use_pandas_sig else \
@@ -1168,8 +1209,14 @@ def incremental_minhash_dedup(
                             minhash_signature(F.col(text_col), n,
                                               num_hashes, seed=seed)
                             .alias("sig"))
+        # one sig row per id: appends over overlapping corpora (or a batch
+        # id already present in the companion) would otherwise fan the two
+        # left joins out and duplicate (id_a,id_b) rows in the RETURNED
+        # pair table (round-7 ADVICE). Any surviving row still gets exact
+        # gram verification, so keeping an arbitrary one is sound.
         all_sigs = (spark.read.parquet(sig_store_path(store_dir))
                     .select("id", "sig").unionByName(batch_sigs)
+                    .dropDuplicates(["id"])
                     .persist())
         est = F.size(F.filter(
             F.zip_with("__sa", "__sb", lambda a, b: a == b),
@@ -1195,11 +1242,10 @@ def incremental_minhash_dedup(
         if store_batch_id is not None:
             # replay-idempotent form: dynamic partition overwrite replaces
             # exactly this batch's own store partitions on re-delivery
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode",
-                           "dynamic")
-            (new_entries.withColumn("batch_id", F.lit(store_batch_id))
-             .write.mode("overwrite").partitionBy("batch_id", "band")
-             .parquet(store_dir))
+            with dynamic_overwrite(spark):
+                (new_entries.withColumn("batch_id", F.lit(store_batch_id))
+                 .write.mode("overwrite").partitionBy("batch_id", "band")
+                 .parquet(store_dir))
         else:
             (new_entries.write.mode("append").partitionBy("band")
              .parquet(store_dir))

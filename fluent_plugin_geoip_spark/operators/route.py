@@ -50,6 +50,8 @@ import time
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..confutil import dynamic_overwrite
+
 log = logging.getLogger(__name__)
 
 UNROUTED = "__unrouted__"
@@ -284,8 +286,6 @@ def route_and_write(
         # salt/checksum key: any stable per-row column works; fall back to
         # the route key itself (weaker salt) rather than failing
         key_col = route_col
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-
     pre_existing = list_partition_values(spark, out_dir, route_col)
     done: dict[str, dict] = read_manifest(out_dir) if resume else {}
     if not resume and pre_existing:
@@ -307,8 +307,9 @@ def route_and_write(
         n = num_partitions or spark.sparkContext.defaultParallelism
         routed = df.repartition(n, F.col(route_col), salt)
 
-    (routed.write.mode("overwrite").partitionBy(route_col).format(fmt)
-        .save(out_dir))
+    with dynamic_overwrite(spark):
+        (routed.write.mode("overwrite").partitionBy(route_col).format(fmt)
+            .save(out_dir))
 
     # lineage accounting: ONE column-pruned aggregate over the files written
     # THIS RUN (attests what is actually on disk, unlike pre-write counters;
@@ -410,7 +411,6 @@ def compact_sinks(spark, out_dir: str, route_col: str = "route_country",
     todo = [v for v in vals if before[v][0] > max_files_per_sink]
     if not todo:
         return {}
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     frag = (spark.read.format(fmt).load(out_dir)
             .filter(F.col(route_col).isin(todo)))
     manifest = read_manifest(out_dir) if resume_manifest else {}
@@ -439,9 +439,10 @@ def compact_sinks(spark, out_dir: str, route_col: str = "route_country",
     (frag.hint("rebalance", route_col)
      .write.mode("overwrite").partitionBy(route_col).format(fmt)
      .save(stage))
-    (spark.read.format(fmt).load(stage)
-     .write.mode("overwrite").partitionBy(route_col).format(fmt)
-     .save(out_dir))
+    with dynamic_overwrite(spark):
+        (spark.read.format(fmt).load(stage)
+         .write.mode("overwrite").partitionBy(route_col).format(fmt)
+         .save(out_dir))
     sfs.delete(sp, True)
     after = sink_file_stats(spark, out_dir, route_col, todo)
     if manifest:
@@ -541,11 +542,11 @@ def _finish_stream_compaction(spark, out_dir: str, route_col: str,
     fold, target = rec["folded"], rec["target"]
     sfs, sp, _ = _fs_for(spark, stage)
     if sfs.exists(sp):
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        (spark.read.format(fmt).load(stage)
-         .withColumn("batch_id", F.lit(int(target)))
-         .write.mode("overwrite").partitionBy("batch_id", route_col)
-         .format(fmt).save(data_dir))
+        with dynamic_overwrite(spark):
+            (spark.read.format(fmt).load(stage)
+             .withColumn("batch_id", F.lit(int(target)))
+             .write.mode("overwrite").partitionBy("batch_id", route_col)
+             .format(fmt).save(data_dir))
     if _crash_point == "after_overwrite":  # test seam: simulated crash
         return {}
     for n in fold:

@@ -1544,6 +1544,29 @@ FROM agg a JOIN bits b USING (media_id)
 """
 
 
+def q_multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG + JPEG decode certified in ONE driver row (round 8): the driver
+    gate executes the first 50 registered queries, so the per-codec rows
+    are folded into a codec-tagged union — both from-scratch decoders
+    (``sources/png.py``: inflate + all five scanline filters;
+    ``sources/jpeg.py``: markers, canonical Huffman, DC chain, IDCT) stay
+    fully on the hook, each against its own exact pixel-formula oracle."""
+    from ..operators.multimodal import (generate_jpeg_images,
+                                        generate_png_images, image_stats)
+    png = (image_stats(generate_png_images(spark, 300))
+           .withColumn("codec", F.lit("png")))
+    jpg = (image_stats(generate_jpeg_images(spark, 300))
+           .withColumn("codec", F.lit("jpeg")))
+    return png.unionByName(jpg)
+
+
+ORACLE_MULTIMODAL_IMAGE = f"""
+SELECT p.*, 'png' AS codec FROM ({ORACLE_MULTIMODAL_PNG}) p
+UNION ALL
+SELECT j.*, 'jpeg' AS codec FROM ({ORACLE_MULTIMODAL_JPEG}) j
+"""
+
+
 def q_multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode certified end to end: formula-sample PCM WAV →
     pure-NumPy RIFF parse → exact integer stats; the oracle restates the
@@ -2102,11 +2125,15 @@ QUERIES = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "multimodal_features": q_multimodal_features,
-    "multimodal_png_stats": q_multimodal_png_stats,
-    "multimodal_jpeg_stats": q_multimodal_jpeg_stats,
+    # png+jpeg folded into one codec-tagged row (round 8): the driver gate
+    # executes the FIRST 50 registered queries — r7 registered 51 and the
+    # 51st (multimodal_video_frames) silently fell off the certification.
+    # Keep this dict at ≤50 entries.
+    "multimodal_image_stats": q_multimodal_image_stats,
     "multimodal_audio_stats": q_multimodal_audio_stats,
     "multimodal_video_frames": q_multimodal_video_frames,
 }
+assert len(QUERIES) <= 50, "driver gate runs only the first 50 queries"
 
 ORACLES = {
     "geoip_enrich_country_counts": ORACLE_ENRICH_COUNTRY,
@@ -2136,8 +2163,7 @@ ORACLES = {
     "sessionize_events": ORACLE_SESSIONIZE,
     "topk_per_group": ORACLE_TOPK,
     "multimodal_features": ORACLE_MULTIMODAL,
-    "multimodal_png_stats": ORACLE_MULTIMODAL_PNG,
-    "multimodal_jpeg_stats": ORACLE_MULTIMODAL_JPEG,
+    "multimodal_image_stats": ORACLE_MULTIMODAL_IMAGE,
     "ann_lsh_topk": _ann_oracle_sql(),
     "ann_ivf_topk": _ivf_oracle_sql(),
     "dedup_simhash": ORACLE_SIMHASH,

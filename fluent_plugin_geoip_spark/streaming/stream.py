@@ -27,6 +27,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..confutil import dynamic_overwrite
 from ..operators.route import _fs_for, _fs_read_text, _fs_write_text
 from ..plans.pipeline import FLAGSHIP_RECORDS, GeoipPipeline
 
@@ -92,7 +93,6 @@ def make_batch_handler(out_dir: str, salt_buckets: int = 8,
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         routed = batch_df.withColumn("batch_id", F.lit(batch_id))
         if strategy == "rebalance":
             routed = routed.hint("rebalance", "route_country")
@@ -100,9 +100,10 @@ def make_batch_handler(out_dir: str, salt_buckets: int = 8,
             salt = F.pmod(F.xxhash64(F.col("url")), F.lit(salt_buckets))
             n = spark.sparkContext.defaultParallelism
             routed = routed.repartition(n, F.col("route_country"), salt)
-        (routed.write.mode("overwrite")
-            .partitionBy("batch_id", "route_country")
-            .parquet(f"{out_dir}/data"))
+        with dynamic_overwrite(spark):
+            (routed.write.mode("overwrite")
+                .partitionBy("batch_id", "route_country")
+                .parquet(f"{out_dir}/data"))
         stats = (batch_df.groupBy("route_country")
                  .agg(F.count("*").alias("rows")).collect())
         # Hadoop-FS write (round 5): works when out_dir is s3a://hdfs://,
@@ -292,7 +293,6 @@ def make_incremental_dedup_handler(
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
-        sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         batch_df = batch_df.select(id_col, text_col).persist()
         if batch_df.count() == 0:
             batch_df.unpersist()
@@ -327,9 +327,10 @@ def make_incremental_dedup_handler(
             update_store=not bucketed, store_df=store,
             store_batch_id=batch_id,
             store_table=store_table if table_exists else None)
-        (pairs.withColumn("batch_id", F.lit(batch_id))
-         .write.mode("overwrite").partitionBy("batch_id")
-         .parquet(pairs_dir))
+        with dynamic_overwrite(sp):
+            (pairs.withColumn("batch_id", F.lit(batch_id))
+             .write.mode("overwrite").partitionBy("batch_id")
+             .parquet(pairs_dir))
         if bucketed and batch_id not in read_applied():
             from ..operators.dedup import signature_band_entries
             entries = (signature_band_entries(
@@ -342,9 +343,10 @@ def make_incremental_dedup_handler(
              .saveAsTable(store_table))
             _fs_write_text(applied_path, json.dumps(
                 {"applied": sorted(read_applied() + [batch_id])}))
-        (batch_df.withColumn("batch_id", F.lit(batch_id))
-         .write.mode("overwrite").partitionBy("batch_id")
-         .parquet(docs_dir))
+        with dynamic_overwrite(sp):
+            (batch_df.withColumn("batch_id", F.lit(batch_id))
+             .write.mode("overwrite").partitionBy("batch_id")
+             .parquet(docs_dir))
         batch_df.unpersist()
 
     return handle_batch
@@ -414,7 +416,6 @@ def make_paragraph_dedup_handler(
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
-        sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         batch_df = batch_df.select(id_col, text_col).persist()
         if batch_df.count() == 0:
             batch_df.unpersist()
@@ -430,8 +431,10 @@ def make_paragraph_dedup_handler(
             batch_df, store_dir, id_col=id_col, text_col=text_col, sep=sep,
             min_chars=min_chars, update_store=True, store_batch_id=batch_id,
             store_df=store)
-        (cleaned.withColumn("batch_id", F.lit(batch_id))
-         .write.mode("overwrite").partitionBy("batch_id").parquet(out_dir))
+        with dynamic_overwrite(sp):
+            (cleaned.withColumn("batch_id", F.lit(batch_id))
+             .write.mode("overwrite").partitionBy("batch_id")
+             .parquet(out_dir))
         batch_df.unpersist()
 
     return handle_batch

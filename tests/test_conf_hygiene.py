@@ -1,0 +1,163 @@
+"""Round-8 hygiene: operators that need partitionOverwriteMode=dynamic
+must restore the caller's previous value (round-7 VERDICT item 4), the
+estimate-screen margin must scale with signature length, seeded label
+propagation must clamp out-of-contract seeds, and duplicate store sig
+rows must not fan the screened pair table out (round-7 ADVICE)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluent_plugin_geoip_spark.confutil import OVERWRITE_MODE, scoped_conf
+from fluent_plugin_geoip_spark.operators import dedup
+from fluent_plugin_geoip_spark.operators.curation import (
+    incremental_dedup_paragraphs,
+)
+from fluent_plugin_geoip_spark.operators.route import (
+    compact_sinks, route_and_write,
+)
+
+
+@pytest.fixture()
+def pages(spark):
+    return spark.createDataFrame(
+        [(f"http://x{i}.example/{i}", "US" if i % 2 else "JP")
+         for i in range(40)],
+        "url string, route_country string")
+
+
+def _mode(spark):
+    return spark.conf.get(OVERWRITE_MODE)
+
+
+def test_scoped_conf_restores_on_error(spark):
+    before = _mode(spark)
+    with pytest.raises(RuntimeError):
+        with scoped_conf(spark, OVERWRITE_MODE, "dynamic"):
+            assert _mode(spark) == "dynamic"
+            raise RuntimeError("boom")
+    assert _mode(spark) == before
+
+
+def test_route_and_write_restores_overwrite_mode(spark, pages, tmp_path):
+    spark.conf.set(OVERWRITE_MODE, "static")
+    try:
+        route_and_write(pages, str(tmp_path / "sinks"))
+        assert _mode(spark) == "static"
+        # a caller relying on dynamic keeps dynamic too
+        spark.conf.set(OVERWRITE_MODE, "dynamic")
+        route_and_write(pages, str(tmp_path / "sinks2"))
+        assert _mode(spark) == "dynamic"
+    finally:
+        spark.conf.unset(OVERWRITE_MODE)
+
+
+def test_compact_sinks_restores_overwrite_mode(spark, pages, tmp_path):
+    out = str(tmp_path / "sinks")
+    route_and_write(pages.repartition(8), out)
+    spark.conf.set(OVERWRITE_MODE, "static")
+    try:
+        compact_sinks(spark, out, max_files_per_sink=1)
+        assert _mode(spark) == "static"
+    finally:
+        spark.conf.unset(OVERWRITE_MODE)
+
+
+def test_incremental_minhash_store_update_restores_mode(spark, tmp_path):
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    corpus = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    new = spark.createDataFrame([(10, base)], "doc_id long, text string")
+    store = str(tmp_path / "store")
+    empty_store = spark.createDataFrame([], "band int, key long, id long")
+    spark.conf.set(OVERWRITE_MODE, "static")
+    try:
+        dedup.incremental_minhash_dedup(
+            new, corpus, store, bands=32, rows=4, threshold=0.6,
+            exact_grams=True, update_store=True, store_batch_id=7,
+            store_df=empty_store).count()
+        assert _mode(spark) == "static"
+    finally:
+        spark.conf.unset(OVERWRITE_MODE)
+
+
+def test_incremental_paragraphs_restores_mode(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma\n\ncommon paragraph here"),
+         (2, "common paragraph here\n\ndelta epsilon")],
+        "doc_id long, text string")
+    store = str(tmp_path / "pstore")
+    empty_store = spark.createDataFrame([], "phash long, para string")
+    spark.conf.set(OVERWRITE_MODE, "static")
+    try:
+        incremental_dedup_paragraphs(
+            docs, store, min_chars=1, update_store=True,
+            store_batch_id=0, store_df=empty_store).count()
+        assert _mode(spark) == "static"
+    finally:
+        spark.conf.unset(OVERWRITE_MODE)
+
+
+def test_screen_margin_auto_scales_with_num_hashes():
+    m128 = dedup._screen_margin("auto", 0.8, 128)
+    m32 = dedup._screen_margin("auto", 0.8, 32)
+    assert abs(m128 - 0.2828) < 1e-3          # matches the old calibration
+    assert abs(m32 - 2 * m128) < 1e-9         # σ doubles at 1/4 the hashes
+
+
+def test_screen_margin_warns_below_six_sigma(caplog):
+    import logging
+    with caplog.at_level(logging.WARNING, logger=dedup.__name__):
+        m = dedup._screen_margin(0.28, 0.8, 32)   # ~4σ at 32 hashes
+    assert m == 0.28
+    assert "σ" in caplog.text or "sigma" in caplog.text.lower()
+
+
+def test_seeded_labels_clamped_to_id(spark):
+    """A seed ABOVE the node id (or naming a phantom node) must not
+    survive as a label: comp ≤ id is label propagation's invariant, and a
+    phantom comp would make keep=(id==comp) false for the whole cluster."""
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    bad_seeds = spark.createDataFrame(
+        [(1, 99), (2, 99), (3, 99)], "id long, comp long")  # phantom 99 > ids
+    labels = dedup.connected_components(
+        pairs, algorithm="label_prop", initial_labels=bad_seeds)
+    got = {(r.id, r.comp) for r in labels.collect()}
+    dedup.release_checkpoint(labels)
+    assert got == {(1, 1), (2, 1), (3, 1)}
+
+
+def test_seeded_labels_below_id_still_honored(spark):
+    """A legitimate seed (prior cluster min, possibly outside the touched
+    subgraph) still propagates — the clamp must not break update_clusters'
+    contract."""
+    pairs = spark.createDataFrame([(5, 6)], "id_a long, id_b long")
+    seeds = spark.createDataFrame([(5, 2)], "id long, comp long")
+    labels = dedup.connected_components(
+        pairs, algorithm="label_prop", initial_labels=seeds)
+    got = {(r.id, r.comp) for r in labels.collect()}
+    dedup.release_checkpoint(labels)
+    assert got == {(5, 2), (6, 2)}
+
+
+def test_incremental_sig_store_no_duplicate_pairs(spark, tmp_path):
+    """Duplicate (id, sig) rows in the store companion (append over
+    overlapping corpora) must not duplicate returned pairs (round-7
+    ADVICE: the screen's two left joins fanned out)."""
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "unrelated words about something else " * 5)],
+        "doc_id long, text string")
+    new = spark.createDataFrame([(10, base)], "doc_id long, text string")
+    store = str(tmp_path / "store")
+    table = dedup.write_signature_store(
+        corpus, store, bands=32, rows=4, bucket_by=4,
+        table="t_dupsig_store", keep_sigs=True)
+    # simulate an overlapping re-append: duplicate every companion row
+    sig_dir = dedup.sig_store_path(store)
+    spark.read.parquet(sig_dir).write.mode("append").parquet(sig_dir)
+    out = dedup.incremental_minhash_dedup(
+        new, corpus, store, bands=32, rows=4, threshold=0.6,
+        exact_grams=True, store_table=table, use_sig_store=True)
+    rows = [(r.id_a, r.id_b) for r in out.collect()]
+    assert len(rows) == len(set(rows))
+    assert (1, 10) in rows
+    spark.sql("DROP TABLE IF EXISTS t_dupsig_store")
