@@ -1,0 +1,98 @@
+"""Native (JVM/Catalyst) IPv6-string parsing for the all-JVM enrich path.
+
+``ipv6_str_to_longs`` turns IPv6 text into a ``struct<hi:long, lo:long>``
+(the 128-bit address as two big-endian 64-bit halves; null when invalid)
+using only built-in SQL expressions — regex structure checks, ``split``,
+``conv`` and an ``aggregate`` HOF — so a v6-capable GeoIP database no
+longer forces the enrich stage through a Python worker (round-7 VERDICT
+item 2: the jvm_join kernel was v4-only, and one dual-stack GeoLite2
+would have silently reinstated the Arrow scaling ceiling).
+
+Semantics mirror the Arrow kernel's ``socket.inet_pton(AF_INET6, ...)``
+(glibc), pinned case-by-case in tests/test_ipv4_and_kernel.py and by the
+hypothesis differential:
+
+- 8 colon-separated groups of 1-4 hex digits; one optional ``::`` run
+  standing for ≥1 zero groups (so with ``::`` at most 7 explicit groups;
+  ``1:2:3:4:5:6:7::`` is valid, ``1:2:3:4:5:6:7:8::`` is not);
+- an embedded IPv4 dotted-quad tail counts as two groups and its octets
+  must be STRICT decimal (0-255, no leading zeros — glibc rejects
+  ``::ffff:010.1.1.1`` although the standalone v4 parser accepts it);
+- no whitespace, zone suffix (``%eth0``) or stray colons.
+
+Scale note: callers gate the whole expression behind
+``F.when(v4_parse_failed & contains(':'), ...)`` — codegen'd CASE WHEN
+evaluates the branch only for rows the (cheap) IPv4 parser rejected, so
+a v4-majority workload pays ~nothing for v6 support.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# strict dotted-quad octet (value ≤ 255, no leading zeros) — glibc's
+# embedded-v4 grammar, deliberately stricter than functions.ipv4's
+_OCT = r"(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9][0-9]|[0-9])"
+_V4_TAIL = rf":{_OCT}\.{_OCT}\.{_OCT}\.{_OCT}$"
+_HEX_GROUP = r"^[0-9A-Fa-f]{1,4}$"
+_EMPTY_STR_ARRAY = "CAST(array() AS array<string>)"
+
+
+def ipv6_str_to_longs(col: Column) -> Column:
+    """IPv6 text → ``struct<hi:long, lo:long>``; null when unparseable.
+
+    The two longs carry the raw 128-bit pattern (hi = bytes 0-7,
+    lo = bytes 8-15, big-endian), so an address ≥ ``8000::`` yields a
+    negative ``hi`` — compare with the bias-flip (XOR min-long) used by
+    :func:`..operators.geolookup.expanded_bucket_table_v6`."""
+    s = col
+    # 1) embedded IPv4 tail → two hex groups, so one generic parser runs.
+    #    regexp_extract's loose pattern only fires under the STRICT gate;
+    #    a loose-but-not-strict tail (leading-zero octet, >255) falls
+    #    through to the generic parser, where the dotted group fails the
+    #    hex-group check — invalid either way, exactly like inet_pton.
+    has_v4 = s.rlike(r"^[0-9A-Fa-f:]*" + _V4_TAIL)
+    tail = F.regexp_extract(s, r":(\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3})$", 1)
+    from .ipv4 import ipv4_str_to_long
+    v4val = ipv4_str_to_long(tail)
+    head = F.regexp_replace(s, r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$", "")
+    s2 = F.when(
+        has_v4 & v4val.isNotNull(),
+        F.concat(head,
+                 F.conv(F.shiftright(v4val, 16).cast("string"), 10, 16),
+                 F.lit(":"),
+                 F.conv(v4val.bitwiseAND(F.lit(0xFFFF)).cast("string"),
+                        10, 16))).otherwise(s)
+
+    # 2) split on '::' (at most one), then on ':'
+    parts = F.split(s2, "::", -1)
+    n_parts = F.size(parts)
+    left = F.element_at(parts, 1)
+    right = F.element_at(parts, 2)   # null when n_parts == 1
+    empty = F.expr(_EMPTY_STR_ARRAY)
+    larr = F.when(left == "", empty).otherwise(F.split(left, ":", -1))
+    rarr = F.when(n_parts < 2, empty) \
+            .when(right == "", empty) \
+            .otherwise(F.split(right, ":", -1))
+    n_expl = F.size(larr) + F.size(rarr)
+    # '::' stands for at least one zero group → ≤ 7 explicit groups;
+    # without it, exactly 8
+    count_ok = F.when(n_parts == 2, n_expl <= 7) \
+                .when(n_parts == 1, n_expl == 8) \
+                .otherwise(F.lit(False))
+    groups = F.concat(
+        larr,
+        F.array_repeat(F.lit("0"), (F.lit(8) - n_expl).cast("int")),
+        rarr)
+    groups_ok = F.forall(groups, lambda g: g.rlike(_HEX_GROUP))
+
+    vals = F.transform(groups, lambda g: F.conv(g, 16, 10).cast("long"))
+    zero = F.lit(0).cast("long")
+    # shiftleft wraps like Java << — exactly the bit pattern we want for
+    # addresses with the top bit set
+    hi = F.aggregate(F.slice(vals, 1, 4), zero,
+                     lambda acc, x: F.shiftleft(acc, 16) + x)
+    lo = F.aggregate(F.slice(vals, 5, 4), zero,
+                     lambda acc, x: F.shiftleft(acc, 16) + x)
+    return F.when(count_ok & groups_ok,
+                  F.struct(hi.alias("hi"), lo.alias("lo")))

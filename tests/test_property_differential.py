@@ -167,3 +167,52 @@ def test_jvm_and_pandas_ipv4_parse_agree(spark, ips):
     got = [r.x for r in df.select(
         ipv4_str_to_long(df.ip).alias("x")).collect()]
     assert got == expected, list(zip(ips, got, expected))
+
+
+ipv6ish = st.one_of(
+    st.from_regex(r"[0-9a-fA-F]{0,4}(::?[0-9a-fA-F]{0,4}){1,8}",
+                  fullmatch=True),
+    st.from_regex(r"(::|[0-9a-f]{1,4}::)(ffff:)?"
+                  r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", fullmatch=True),
+    st.text(alphabet="0123456789abcdefg:. %", max_size=40),
+    st.sampled_from([
+        "::", "::1", "1::", "1:2:3:4:5:6:7:8", "1:2:3:4:5:6:7::",
+        "1:2:3:4:5:6:7:8::", "::ffff:1.2.3.4", "::ffff:010.1.1.1",
+        "::1.2.3.4", "64:ff9b::1.2.3.4", "1:2:3:4:5:6:1.2.3.4",
+        "1:2:3:4:5:6:7:1.2.3.4", "fe80::1%eth0", "00001::", "1::2::3",
+        ":::", " ::1", "::1 ", "ABCD::EF01", "12345::",
+        "ffff:ffff:ffff:ffff:ffff:ffff:ffff:ffff", "8000::",
+        "::ffff:256.1.1.1", "1:::2", "1.2.3.4::", "g::1",
+    ]),
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(ips=st.lists(ipv6ish, min_size=1, max_size=60))
+def test_jvm_ipv6_parse_matches_inet_pton(spark, ips):
+    """The Catalyst IPv6 parse (round 8 — the v6 leg of jvm_join) must
+    agree exactly with the Arrow kernel's authority, glibc inet_pton:
+    same accept/reject set, same 128-bit value as two signed longs."""
+    import socket
+    from fluent_plugin_geoip_spark.functions.ipv6 import ipv6_str_to_longs
+
+    def pton(s):
+        try:
+            b = socket.inet_pton(socket.AF_INET6, s)
+        except (OSError, TypeError):
+            return None
+        v = int.from_bytes(b, "big")
+
+        def sg(u):
+            return u - (1 << 64) if u >= (1 << 63) else u
+        return (sg(v >> 64), sg(v & ((1 << 64) - 1)))
+
+    expected = [pton(s) for s in ips]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(ips)],
+                               "i long, ip string")
+    got_rows = (df.select("i", ipv6_str_to_longs(df.ip).alias("p"))
+                .orderBy("i").collect())
+    got = [(r.p.hi, r.p.lo) if r.p is not None else None for r in got_rows]
+    assert got == expected, [
+        (s, g, e) for s, g, e in zip(ips, got, expected) if g != e][:5]
