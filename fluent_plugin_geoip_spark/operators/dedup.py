@@ -1077,6 +1077,172 @@ def write_signature_store(df: DataFrame, store_dir: str,
     return name
 
 
+def _bucket_table_meta(spark, table: str) -> dict:
+    """Bucket spec + location of a catalog table, parsed from DESCRIBE
+    TABLE EXTENDED (the only public surface that exposes all three)."""
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+    info = {r.col_name: r.data_type for r in rows}
+    if "Num Buckets" not in info:
+        raise ValueError(f"{table} is not a bucketed table")
+
+    def cols(field: str) -> list[str]:
+        raw = info.get(field, "").strip("[]")
+        return [c.strip(" `") for c in raw.split(",") if c.strip(" `")]
+
+    return {"num_buckets": int(info["Num Buckets"]),
+            "bucket_cols": cols("Bucket Columns"),
+            "sort_cols": cols("Sort Columns"),
+            "location": info["Location"].rstrip("/")}
+
+
+def _store_data_files(spark, location: str) -> int:
+    """Top-level non-hidden file count of a store dir (driver-side FS
+    metadata, no data read)."""
+    from .route import _fs_for
+    fs, p, _ = _fs_for(spark, location)
+    if not fs.exists(p):
+        return 0
+    n = 0
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if st.isFile() and not name.startswith(("_", ".")):
+            n += 1
+    return n
+
+
+def compact_bucketed_store(spark, table: str, verify_counts: bool = True,
+                           _crash_point: str | None = None) -> dict:
+    """Rewrite a bucketed store table (signature store, paragraph store)
+    into ONE file set per bucket, preserving its ``bucketBy(N, key)
+    .sortBy(...)`` spec — the store-maintenance leg of the incremental
+    design (round-7 VERDICT item 1): every daily/streaming append adds a
+    file set per bucket, so a year of batches is ~365 files per bucket,
+    degrading the very probe the bucketed layout exists to keep
+    exchange-free. Compaction also drops EXACT-duplicate rows, reclaiming
+    the documented streaming double-append crash window (stream.py: a
+    crash between the store append and the lineage write re-appends one
+    batch; the duplicate (band,key,id) rows cost storage, never
+    correctness — this is where that storage is reclaimed).
+
+    Crash-safe two-phase protocol (same shape as route.compact_stream_
+    sinks): (1) the deduplicated store is staged as a SIBLING bucketed
+    table (``<location>_cstage``); (2) an intent file (holding the
+    streaming lineage stash) commits the swap; (3) the main table is
+    overwritten FROM the stage — the stage's bucketed scan already
+    satisfies the write's clustering, so the swap is one I/O pass with
+    no shuffle; (4) lineage is restored, stage + intent dropped. A crash
+    before (2) leaves the store untouched (stale stage is dropped on the
+    next run); after (2), the next call RESUMES at (3) from the complete
+    stage — at no point can data exist only in a half-written location.
+
+    Scale note: cost is two sequential passes over live store bytes
+    (stage write + swap write) and ONE shuffle (the repartition that
+    aligns rows to buckets so each bucket lands in exactly one file);
+    ``dropDuplicates`` reuses that same partitioning (full-row grouping
+    contains the bucket key), so no second exchange. On an HDFS-like FS
+    a rename-based swap would save the second pass; the write-through
+    swap is chosen because it never assumes bucket-id-encoding file
+    names and works on object stores.
+
+    Returns {"rows_before", "rows_after", "files_before", "files_after"}
+    (row fields None when resuming from an intent or verify_counts=False).
+    """
+    import json as _json
+    from .route import _delete_path, _fs_read_text, _fs_write_text
+    meta = _bucket_table_meta(spark, table)
+    loc = meta["location"]
+    n_buckets, bcols, scols = (meta["num_buckets"], meta["bucket_cols"],
+                               meta["sort_cols"])
+    stage_table = f"{table}__cstage"
+    stage_dir = f"{loc}_cstage"
+    intent_path = f"{loc}_compact_intent.json"
+    applied_path = f"{loc}/_lineage/applied_batches.json"
+
+    def bucketed_writer(df):
+        w = (df.write.mode("overwrite")
+             .bucketBy(n_buckets, bcols[0], *bcols[1:]))
+        if scols:
+            w = w.sortBy(scols[0], *scols[1:])
+        return w.format("parquet")
+
+    files_before = _store_data_files(spark, loc)
+    rows_before = rows_after = None
+    intent = _fs_read_text(intent_path)
+    if intent is None:
+        cur = spark.table(table)
+        if verify_counts:
+            rows_before = cur.count()
+        # align rows to their bucket before writing: HashPartitioning on
+        # the bucket columns is exactly Spark's bucket-id function, so
+        # each task holds one bucket → one file per bucket; the full-row
+        # dropDuplicates groups on a superset of the partition keys and
+        # introduces no further exchange
+        deduped = (cur.repartition(n_buckets, *[F.col(c) for c in bcols])
+                   .dropDuplicates())
+        spark.sql(f"DROP TABLE IF EXISTS {stage_table}")
+        _delete_path(spark, stage_dir)
+        bucketed_writer(deduped).option("path", stage_dir) \
+            .saveAsTable(stage_table)
+        if verify_counts:
+            rows_after = spark.table(stage_table).count()
+            if rows_after > rows_before:
+                raise IOError(
+                    f"compact_bucketed_store: stage holds {rows_after} "
+                    f"rows > source {rows_before}; refusing the swap")
+        stash = _fs_read_text(applied_path)
+        _fs_write_text(intent_path, _json.dumps(
+            {"stage_table": stage_table, "applied": stash}))
+        if _crash_point == "after_intent":  # test seam: simulated crash
+            return {}
+    else:
+        rec = _json.loads(intent)
+        stage_table, stash = rec["stage_table"], rec.get("applied")
+        if not spark.catalog.tableExists(stage_table):
+            raise IOError(
+                f"compact_bucketed_store: intent file {intent_path} names "
+                f"missing stage table {stage_table}; cannot resume")
+        log.warning("compact_bucketed_store: resuming interrupted "
+                    "compaction of %s from stage %s", table, stage_table)
+
+    # swap: bucketed-scan → bucketed-write, no shuffle; overwriting the
+    # main table truncates its location, hence the lineage stash/restore
+    bucketed_writer(spark.table(stage_table)).option("path", loc) \
+        .saveAsTable(table)
+    if _crash_point == "after_overwrite":  # test seam: simulated crash
+        return {}
+    if stash:
+        _fs_write_text(applied_path, stash)
+    spark.sql(f"DROP TABLE IF EXISTS {stage_table}")
+    _delete_path(spark, stage_dir)
+    _delete_path(spark, intent_path, recursive=False)
+    spark.catalog.refreshTable(table)
+    return {"rows_before": rows_before, "rows_after": rows_after,
+            "files_before": files_before,
+            "files_after": _store_data_files(spark, loc)}
+
+
+def compact_sig_companion(spark, store_dir: str) -> dict:
+    """Compact the plain-parquet (id, sig) companion of a signature store
+    (:func:`sig_store_path`): appended daily with ``keep_sigs=True``, it
+    accumulates files and — over overlapping corpora — duplicate ids
+    (harmless to the screen since round 8's dropDuplicates, but paid on
+    every probe read). Stage-then-overwrite; a crash mid-overwrite is
+    recoverable by re-running write_signature_store(keep_sigs=True), so
+    no intent protocol — the companion is a performance cache, the band
+    store is the durable state."""
+    from .route import _delete_path
+    path = sig_store_path(store_dir)
+    stage = f"{path}_cstage"
+    files_before = _store_data_files(spark, path)
+    (spark.read.parquet(path).dropDuplicates(["id"])
+     .write.mode("overwrite").parquet(stage))
+    (spark.read.parquet(stage)
+     .write.mode("overwrite").parquet(path))
+    _delete_path(spark, stage)
+    return {"files_before": files_before,
+            "files_after": _store_data_files(spark, path)}
+
+
 def incremental_minhash_dedup(
     new_docs: DataFrame,
     corpus_docs: DataFrame,

@@ -1644,10 +1644,21 @@ def _incremental_store(spark: SparkSession, sf_dir: str,
     if (cached is None or not os.path.isdir(cached[0])
             or not os.path.isdir(sig_store_path(cached[0]))
             or not spark.catalog.tableExists(cached[1])):
+        from ..operators.dedup import compact_bucketed_store
         store = tempfile.mkdtemp(prefix="geoip_sigstore_")
-        table = write_signature_store(corpus, store, bands=32, rows=4,
-                                      num_hashes=128, bucket_by=16,
-                                      keep_sigs=True)
+        # built as write + append + COMPACT so the probe the driver gate
+        # certifies runs through a compacted store — compact_bucketed_store
+        # (round 8) is thereby on the oracle hook: a compaction bug that
+        # lost/duplicated store rows would break dedup_incremental's hash
+        half = F.abs(F.xxhash64("doc_id")) % 2
+        table = write_signature_store(
+            corpus.filter(half == 0), store, bands=32, rows=4,
+            num_hashes=128, bucket_by=16, keep_sigs=True)
+        write_signature_store(
+            corpus.filter(half == 1), store, bands=32, rows=4,
+            num_hashes=128, bucket_by=16, table=table, mode="append",
+            keep_sigs=True)
+        compact_bucketed_store(spark, table, verify_counts=False)
         _INCR_STORES[sf_dir] = cached = (store, table)
     return cached
 

@@ -277,7 +277,10 @@ def make_incremental_dedup_handler(
       construction** — they can only produce duplicate candidate pairs,
       which the probe's ``.distinct()`` removes before verification — so
       the window costs bounded storage (one batch's entries per crash),
-      never correctness;
+      never correctness; that storage — and the one-file-set-per-bucket-
+      per-append accretion itself — is reclaimed by periodically running
+      :func:`..operators.dedup.compact_bucketed_store` (round 8), which
+      preserves the bucket spec and the lineage file;
     - rows carry ``batch_id``, and the probe filters the replaying batch's
       own rows out (a plain filter preserves the bucketed scan's
       distribution, so the no-exchange property survives).

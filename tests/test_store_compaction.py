@@ -1,0 +1,140 @@
+"""Bucketed-store compaction (round 8 — round-7 VERDICT item 1): fold K
+appends' file sets into one per bucket PRESERVING the bucketBy spec, drop
+the exact-duplicate rows left by the streaming double-append crash
+window, keep the probe exchange-free, and survive a crash at every
+protocol step."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluent_plugin_geoip_spark.operators.dedup import (
+    _bucket_table_meta, compact_bucketed_store, compact_sig_companion,
+    incremental_minhash_dedup, sig_store_path, signature_band_entries,
+    write_signature_store,
+)
+from fluent_plugin_geoip_spark.operators.route import (
+    _fs_read_text, _fs_write_text,
+)
+
+
+def _corpus(spark, lo, hi):
+    return spark.createDataFrame(
+        [(i, f"corpus document number {i} text " * 3) for i in range(lo, hi)],
+        "doc_id long, text string")
+
+
+def _mk_store(spark, tmp_path, name, appends=2):
+    store = str(tmp_path / "store")
+    table = write_signature_store(_corpus(spark, 0, 10), store, bands=16,
+                                  rows=8, bucket_by=4, table=name)
+    for k in range(appends):
+        write_signature_store(_corpus(spark, 10 * (k + 1), 10 * (k + 2)),
+                              store, bands=16, rows=8, bucket_by=4,
+                              table=name, mode="append")
+    return store, table
+
+
+def _drop(spark, *tables):
+    for t in tables:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_compact_folds_files_and_preserves_probe(spark, tmp_path):
+    store, table = _mk_store(spark, tmp_path, "t_cmp_fold", appends=2)
+    rows_pre = spark.table(table).count()
+    res = compact_bucketed_store(spark, table)
+    assert res["files_before"] > 4            # 3 writes × 4 buckets
+    assert res["files_after"] == 4            # one file per bucket
+    assert res["rows_before"] == rows_pre
+    assert res["rows_after"] == rows_pre      # no duplicates here
+    # bucket spec preserved in the catalog
+    meta = _bucket_table_meta(spark, table)
+    assert meta["num_buckets"] == 4 and meta["bucket_cols"] == ["key"]
+    assert spark.table(table).count() == rows_pre
+
+    # probe still exchange-free on the store side
+    new = spark.createDataFrame(
+        [(100, "corpus document number 3 text " * 3)],
+        "doc_id long, text string")
+    probe = (signature_band_entries(new, bands=16, rows=8)
+             .select("key", F.col("id").alias("id_new"))
+             .join(spark.table(table)
+                   .select("key", F.col("id").alias("id_old")), ["key"]))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        plan = probe._jdf.queryExecution().explainString(
+            jmode.fromString("simple"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "Bucketed: true" in plan, plan
+    store_side = plan[plan.index("FileScan"):]
+    assert "Exchange" not in store_side, plan
+
+    # end-to-end dedup through the compacted store stays correct
+    out = incremental_minhash_dedup(new, _corpus(spark, 0, 30), store,
+                                    bands=16, rows=8, threshold=0.8,
+                                    exact_grams=True, store_table=table)
+    assert {(r.id_a, r.id_b) for r in out.collect()} == {(3, 100)}
+    _drop(spark, table)
+
+
+def test_compact_drops_double_append_duplicates(spark, tmp_path):
+    """The streaming crash window (stream.py: crash between store append
+    and lineage write) re-appends one batch verbatim; compaction is where
+    those exact-duplicate rows are reclaimed."""
+    store, table = _mk_store(spark, tmp_path, "t_cmp_dup", appends=0)
+    # simulate the double append: same batch twice
+    for _ in range(2):
+        write_signature_store(_corpus(spark, 10, 20), store, bands=16,
+                              rows=8, bucket_by=4, table=table,
+                              mode="append")
+    distinct_pre = spark.table(table).distinct().count()
+    res = compact_bucketed_store(spark, table)
+    assert res["rows_after"] == distinct_pre < res["rows_before"]
+    assert spark.table(table).count() == distinct_pre
+    _drop(spark, table)
+
+
+@pytest.mark.parametrize("crash", ["after_intent", "after_overwrite"])
+def test_compact_crash_then_resume(spark, tmp_path, crash):
+    store, table = _mk_store(spark, tmp_path, f"t_cmp_{crash}", appends=1)
+    rows_pre = spark.table(table).count()
+    assert compact_bucketed_store(spark, table, _crash_point=crash) == {}
+    # resume completes the swap from the staged copy
+    res = compact_bucketed_store(spark, table)
+    assert res["files_after"] == 4
+    assert spark.table(table).count() == rows_pre
+    # protocol artifacts gone
+    meta = _bucket_table_meta(spark, table)
+    assert _fs_read_text(f"{meta['location']}_compact_intent.json") is None
+    assert not spark.catalog.tableExists(f"{table}__cstage")
+    _drop(spark, table)
+
+
+def test_compact_stashes_streaming_lineage(spark, tmp_path):
+    """The swap truncates the table location, so the streaming store's
+    applied-batch lineage file must survive via the intent stash."""
+    store, table = _mk_store(spark, tmp_path, "t_cmp_lineage", appends=1)
+    meta = _bucket_table_meta(spark, table)
+    applied = f"{meta['location']}/_lineage/applied_batches.json"
+    _fs_write_text(applied, '{"applied": [0, 1]}')
+    compact_bucketed_store(spark, table)
+    assert _fs_read_text(applied) == '{"applied": [0, 1]}'
+    _drop(spark, table)
+
+
+def test_compact_sig_companion_dedups_ids(spark, tmp_path):
+    store = str(tmp_path / "store")
+    table = write_signature_store(_corpus(spark, 0, 10), store, bands=16,
+                                  rows=8, bucket_by=4,
+                                  table="t_cmp_companion", keep_sigs=True)
+    sig_dir = sig_store_path(store)
+    # overlapping re-append duplicates every companion row
+    spark.read.parquet(sig_dir).write.mode("append").parquet(sig_dir)
+    assert spark.read.parquet(sig_dir).count() == 20
+    res = compact_sig_companion(spark, store)
+    assert spark.read.parquet(sig_dir).count() == 10
+    assert res["files_after"] <= res["files_before"]
+    _drop(spark, table)
