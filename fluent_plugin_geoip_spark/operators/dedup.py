@@ -657,22 +657,32 @@ def connected_components(pairs: DataFrame, max_iters: int = 25,
                                         F.col("id"))
                           .alias("comp"))
                   .localCheckpoint())
+    from pyspark.sql import Observation
     for _ in range(max_iters):
         neigh = (edges.join(labels, edges.dst == labels.id)
                  .groupBy("src").agg(F.min("comp").alias("ncomp")))
+        # convergence test folded into the SAME job as the round's
+        # checkpoint (round-7 VERDICT item 5): the old label is already on
+        # the row, so `changed` is an observe() metric collected while the
+        # eager localCheckpoint materializes — one job per round instead
+        # of checkpoint + a separate join-and-count job (which was half
+        # the steady-state cost of a small incremental update, where
+        # per-round job overhead dominates the tiny touched subgraph).
+        obs = Observation()
+        new_comp = F.least(F.col("comp"),
+                           F.coalesce(F.col("ncomp"), F.col("comp")))
         new_labels = (labels.join(neigh, labels.id == neigh.src, "left")
-                      .select(labels.id,
-                              F.least(F.col("comp"),
-                                      F.coalesce(F.col("ncomp"),
-                                                 F.col("comp")))
-                              .alias("comp")).localCheckpoint())
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "id")
-                   .filter(F.col("n.comp") != F.col("o.comp")).count())
-        # the new round is materialized (eager checkpoint) and the changed
-        # count was the last reader of the old round — release its blocks
-        # now instead of stranding one block set per round until driver GC
-        # (round-6 ADVICE)
+                      .select(labels.id, new_comp.alias("__new"),
+                              F.col("comp").alias("__old"))
+                      .observe(obs, F.sum(
+                          (F.col("__new") != F.col("__old")).cast("long"))
+                          .alias("changed"))
+                      .select("id", F.col("__new").alias("comp"))
+                      .localCheckpoint())
+        changed = int(obs.get["changed"] or 0)
+        # the new round is materialized (eager checkpoint) — release the
+        # old round's blocks now instead of stranding one block set per
+        # round until driver GC (round-6 ADVICE)
         release_checkpoint(labels)
         labels = new_labels
         if changed == 0:
