@@ -76,6 +76,20 @@ def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _detached(out: DataFrame, *order_cols: str) -> DataFrame:
+    """Decouple a result from its upstream caches/checkpoints WITHOUT a
+    driver collect (round-7 VERDICT item 6: these are whole label tables
+    — driver-sized today, wrong shape at 100×): temp-parquet round-trip,
+    after which the operator caches can be released before returning.
+    The read-back re-applies the presentation ordering (a parquet scan
+    does not preserve it)."""
+    import tempfile
+    path = tempfile.mkdtemp(prefix="geoip_q_out_")
+    out.write.mode("overwrite").parquet(path)
+    res = out.sparkSession.read.parquet(path)
+    return res.orderBy(*order_cols) if order_cols else res
+
+
 def _with_ip(df: DataFrame) -> DataFrame:
     return df.withColumn("ip", _ip_str(_ip_int_expr("event_id")))
 
@@ -673,10 +687,10 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
            .filter(F.col("lang").isin("en", "de", "fr"))
            .filter(F.col("quality_micros") >= 865000)
            .orderBy("doc_id"))
-    # materialize the (small) survivor list so the verified-pairs cache and
-    # the checkpoint-backed labels are released PER INVOCATION — repeated
+    # detach the survivor list so the verified-pairs cache and the
+    # checkpoint-backed labels are released PER INVOCATION — repeated
     # bench/driver runs in one session must not accumulate cached blocks
-    res = spark.createDataFrame(out.collect(), out.schema)
+    res = _detached(out, "doc_id")
     release_checkpoint(comps)
     pairs.unpersist()
     return res
@@ -957,8 +971,8 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select(F.col("id").alias("doc_id"),
                    F.col("comp").alias("component"))
            .orderBy("doc_id"))
-    # materialize + release per invocation (see q_corpus_curation)
-    res = spark.createDataFrame(out.collect(), out.schema)
+    # detach + release per invocation (see q_corpus_curation)
+    res = _detached(out, "doc_id")
     release_checkpoint(comps)
     pairs.unpersist()
     return res
@@ -983,7 +997,7 @@ def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select(F.col("id").alias("doc_id"),
                    F.col("comp").alias("component"))
            .orderBy("doc_id"))
-    res = spark.createDataFrame(out.collect(), out.schema)
+    res = _detached(out, "doc_id")
     release_checkpoint(comps)
     pairs.unpersist()
     return res
@@ -1088,8 +1102,8 @@ def q_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select(F.col("id").alias("doc_id"),
                    F.col("comp").alias("component"))
            .orderBy("doc_id"))
-    # materialize + release per invocation (see q_corpus_curation)
-    res = spark.createDataFrame(out.collect(), out.schema)
+    # detach + release per invocation (see q_corpus_curation)
+    res = _detached(out, "doc_id")
     updated.unpersist()
     pairs.unpersist()
     return res
