@@ -1231,6 +1231,28 @@ def compact_bucketed_store(spark, table: str, verify_counts: bool = True,
             "files_after": _store_data_files(spark, loc)}
 
 
+def compact_bucketed_store_if_needed(spark, table: str,
+                                     max_files_per_bucket: int = 8,
+                                     **kw) -> dict | None:
+    """Metadata-only maintenance trigger: compact when the store's
+    top-level file count exceeds ``max_files_per_bucket × num_buckets``
+    (each append adds ≤ one file set per bucket, so file count is the
+    direct measure of accretion). One driver-side directory listing when
+    healthy — cheap enough to call after every daily append or from a
+    streaming handler every K batches. Returns None when no compaction
+    ran; an unfinished crashed compaction (intent file present) is always
+    resumed regardless of the threshold."""
+    from .route import _fs_read_text
+    meta = _bucket_table_meta(spark, table)
+    intent_pending = _fs_read_text(
+        f"{meta['location']}_compact_intent.json") is not None
+    files = _store_data_files(spark, meta["location"])
+    if not intent_pending and \
+            files <= max_files_per_bucket * meta["num_buckets"]:
+        return None
+    return compact_bucketed_store(spark, table, **kw)
+
+
 def compact_sig_companion(spark, store_dir: str) -> dict:
     """Compact the plain-parquet (id, sig) companion of a signature store
     (:func:`sig_store_path`): appended daily with ``keep_sigs=True``, it

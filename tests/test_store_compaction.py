@@ -138,3 +138,63 @@ def test_compact_sig_companion_dedups_ids(spark, tmp_path):
     assert spark.read.parquet(sig_dir).count() == 10
     assert res["files_after"] <= res["files_before"]
     _drop(spark, table)
+
+
+def test_compact_if_needed_threshold_and_resume(spark, tmp_path):
+    """Metadata-only trigger: healthy store → None (one FS listing); over
+    threshold → compacts; a pending intent (crashed compaction) is resumed
+    even when the file count is back under the threshold."""
+    from fluent_plugin_geoip_spark.operators.dedup import (
+        compact_bucketed_store_if_needed,
+    )
+    store, table = _mk_store(spark, tmp_path, "t_cmp_need", appends=2)
+    # 3 file sets per bucket — healthy under a loose threshold
+    assert compact_bucketed_store_if_needed(
+        spark, table, max_files_per_bucket=8) is None
+    # tight threshold → compacts to one file per bucket
+    res = compact_bucketed_store_if_needed(
+        spark, table, max_files_per_bucket=2)
+    assert res is not None and res["files_after"] == 4
+    # crashed compaction leaves an intent; the trigger resumes it even
+    # though the file count is healthy
+    write_signature_store(_corpus(spark, 40, 50), store, bands=16, rows=8,
+                          bucket_by=4, table=table, mode="append")
+    assert compact_bucketed_store(spark, table,
+                                  _crash_point="after_intent") == {}
+    res = compact_bucketed_store_if_needed(
+        spark, table, max_files_per_bucket=100)
+    assert res is not None and res["files_after"] == 4
+    meta = _bucket_table_meta(spark, table)
+    assert _fs_read_text(f"{meta['location']}_compact_intent.json") is None
+    _drop(spark, table)
+
+
+def test_compact_paragraph_store_generic(spark, tmp_path):
+    """compact_bucketed_store is spec-driven, so the phash-bucketed
+    paragraph store compacts through the same operator; the incremental
+    paragraph probe stays correct afterwards."""
+    from fluent_plugin_geoip_spark.operators.curation import (
+        incremental_dedup_paragraphs, write_paragraph_store,
+    )
+    docs1 = spark.createDataFrame(
+        [(1, "shared footer paragraph\n\nunique one")],
+        "doc_id long, text string")
+    docs2 = spark.createDataFrame(
+        [(2, "another paragraph entirely\n\nsecond unique")],
+        "doc_id long, text string")
+    store = str(tmp_path / "pstore")
+    table = write_paragraph_store(docs1, store, bucket_by=4,
+                                  table="t_cmp_para")
+    write_paragraph_store(docs2, store, bucket_by=4, table=table,
+                          mode="append")
+    rows_pre = spark.table(table).count()
+    res = compact_bucketed_store(spark, table)
+    assert res["files_after"] == 4 and res["rows_after"] == rows_pre
+    batch = spark.createDataFrame(
+        [(10, "shared footer paragraph\n\nbrand new paragraph")],
+        "doc_id long, text string")
+    out = incremental_dedup_paragraphs(batch, store, store_table=table)
+    row = out.collect()[0]
+    assert "brand new paragraph" in row.text_dedup
+    assert "shared footer" not in row.text_dedup
+    _drop(spark, table)
