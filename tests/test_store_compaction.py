@@ -147,8 +147,9 @@ def test_compact_if_needed_threshold_and_resume(spark, tmp_path):
     from fluent_plugin_geoip_spark.operators.dedup import (
         compact_bucketed_store_if_needed,
     )
-    store, table = _mk_store(spark, tmp_path, "t_cmp_need", appends=2)
-    # 3 file sets per bucket — healthy under a loose threshold
+    store, table = _mk_store(spark, tmp_path, "t_cmp_need", appends=0)
+    # a single write leaves ≤ tasks×buckets files (16 here = 4/bucket) —
+    # healthy under a loose threshold
     assert compact_bucketed_store_if_needed(
         spark, table, max_files_per_bucket=8) is None
     # tight threshold → compacts to one file per bucket
@@ -189,7 +190,10 @@ def test_compact_paragraph_store_generic(spark, tmp_path):
                           mode="append")
     rows_pre = spark.table(table).count()
     res = compact_bucketed_store(spark, table)
-    assert res["files_after"] == 4 and res["rows_after"] == rows_pre
+    # ≤ one file per NON-EMPTY bucket (4 paragraphs may hash to fewer
+    # than 4 buckets); rows preserved
+    assert res["files_after"] <= 4 and res["rows_after"] == rows_pre
+    assert res["files_after"] < res["files_before"]
     batch = spark.createDataFrame(
         [(10, "shared footer paragraph\n\nbrand new paragraph")],
         "doc_id long, text string")
