@@ -63,8 +63,8 @@ def test_enrich_single_arrow_crossing_no_shuffle(spark, pages_parquet):
 
 
 def test_default_enrich_is_jvm_join_no_python(spark, pages_parquet):
-    """The pipeline default (round 7: enrich_strategy='auto' → 'jvm_join'
-    on a v4-only DB) must run the whole enrich stage with NO Python
+    """The pipeline default (enrich_strategy='auto' → 'jvm_join' on every
+    DB since round 8) must run the whole enrich stage with NO Python
     worker and NO shuffle — only a broadcast build per lookup DB."""
     pages = spark.read.parquet(pages_parquet)
     enriched = GeoipPipeline(spark).enrich(pages)
