@@ -38,61 +38,93 @@ _HEX_GROUP = r"^[0-9A-Fa-f]{1,4}$"
 _EMPTY_STR_ARRAY = "CAST(array() AS array<string>)"
 
 
+def _let(value: Column, body) -> Column:
+    """A true let-binding inside one Catalyst expression: evaluate
+    ``value`` ONCE, bind it to a lambda variable, evaluate ``body`` with
+    cheap variable references. Implemented as a single-element-array
+    ``transform`` (HOF arguments are evaluated once; lambda variables are
+    plain slot reads).
+
+    Why it exists: a Column is an expression TREE — every Python-level
+    reference to an intermediate embeds a full copy of its subtree, so a
+    parser written as one big composed Column re-evaluated its staged
+    intermediates ~14× per row (the whole dotted-quad fold ran inside
+    every reference to the group array), measured at ~57× the cost of
+    the let-bound form on the same input. Codegen's common-subexpression
+    elimination does not reach through HOF lambdas, so the binding must
+    be structural."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def ipv6_str_to_longs(col: Column) -> Column:
     """IPv6 text → ``struct<hi:long, lo:long>``; null when unparseable.
 
     The two longs carry the raw 128-bit pattern (hi = bytes 0-7,
     lo = bytes 8-15, big-endian), so an address ≥ ``8000::`` yields a
     negative ``hi`` — compare with the bias-flip (XOR min-long) used by
-    :func:`..operators.geolookup.expanded_bucket_table_v6`."""
-    s = col
-    # 1) embedded IPv4 tail → two hex groups, so one generic parser runs.
-    #    regexp_extract's loose pattern only fires under the STRICT gate;
-    #    a loose-but-not-strict tail (leading-zero octet, >255) falls
-    #    through to the generic parser, where the dotted group fails the
-    #    hex-group check — invalid either way, exactly like inet_pton.
-    has_v4 = s.rlike(r"^[0-9A-Fa-f:]*" + _V4_TAIL)
-    tail = F.regexp_extract(s, r":(\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3})$", 1)
+    :func:`..operators.geolookup.expanded_bucket_table_v6`.
+
+    Every staged intermediate (the dotted-quad fold, the '::' split, the
+    group arrays, the parsed group values) is :func:`_let`-bound so it is
+    computed exactly once per row."""
     from .ipv4 import ipv4_str_to_long
-    v4val = ipv4_str_to_long(tail)
-    head = F.regexp_replace(s, r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$", "")
-    s2 = F.when(
-        has_v4 & v4val.isNotNull(),
-        F.concat(head,
-                 F.conv(F.shiftright(v4val, 16).cast("string"), 10, 16),
-                 F.lit(":"),
-                 F.conv(v4val.bitwiseAND(F.lit(0xFFFF)).cast("string"),
-                        10, 16))).otherwise(s)
-
-    # 2) split on '::' (at most one), then on ':'
-    parts = F.split(s2, "::", -1)
-    n_parts = F.size(parts)
-    left = F.element_at(parts, 1)
-    right = F.element_at(parts, 2)   # null when n_parts == 1
     empty = F.expr(_EMPTY_STR_ARRAY)
-    larr = F.when(left == "", empty).otherwise(F.split(left, ":", -1))
-    rarr = F.when(n_parts < 2, empty) \
-            .when(right == "", empty) \
-            .otherwise(F.split(right, ":", -1))
-    n_expl = F.size(larr) + F.size(rarr)
-    # '::' stands for at least one zero group → ≤ 7 explicit groups;
-    # without it, exactly 8
-    count_ok = F.when(n_parts == 2, n_expl <= 7) \
-                .when(n_parts == 1, n_expl == 8) \
-                .otherwise(F.lit(False))
-    groups = F.concat(
-        larr,
-        F.array_repeat(F.lit("0"), (F.lit(8) - n_expl).cast("int")),
-        rarr)
-    groups_ok = F.forall(groups, lambda g: g.rlike(_HEX_GROUP))
-
-    vals = F.transform(groups, lambda g: F.conv(g, 16, 10).cast("long"))
     zero = F.lit(0).cast("long")
-    # shiftleft wraps like Java << — exactly the bit pattern we want for
-    # addresses with the top bit set
-    hi = F.aggregate(F.slice(vals, 1, 4), zero,
-                     lambda acc, x: F.shiftleft(acc, 16) + x)
-    lo = F.aggregate(F.slice(vals, 5, 4), zero,
-                     lambda acc, x: F.shiftleft(acc, 16) + x)
-    return F.when(count_ok & groups_ok,
-                  F.struct(hi.alias("hi"), lo.alias("lo")))
+
+    def parse(s: Column) -> Column:
+        # 1) embedded IPv4 tail → two hex groups, so one generic parser
+        #    runs. The loose regexp_extract only fires under the STRICT
+        #    gate; a loose-but-not-strict tail (leading-zero octet, >255)
+        #    falls through to the generic parser, where the dotted group
+        #    fails the hex-group check — invalid either way, exactly like
+        #    inet_pton.
+        has_v4 = s.rlike(r"^[0-9A-Fa-f:]*" + _V4_TAIL)
+        tail = F.regexp_extract(
+            s, r":(\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3})$", 1)
+        head = F.regexp_replace(
+            s, r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$", "")
+        s2 = _let(ipv4_str_to_long(tail), lambda v4: F.when(
+            has_v4 & v4.isNotNull(),
+            F.concat(head,
+                     F.conv(F.shiftright(v4, 16).cast("string"), 10, 16),
+                     F.lit(":"),
+                     F.conv(v4.bitwiseAND(F.lit(0xFFFF)).cast("string"),
+                            10, 16))).otherwise(s))
+        # 2) split on '::' (at most one), then on ':'
+        return _let(s2, lambda t: _let(
+            F.split(t, "::", -1), lambda parts: _let(
+                F.when(F.element_at(parts, 1) == "", empty)
+                 .otherwise(F.split(F.element_at(parts, 1), ":", -1)),
+                lambda larr: _let(
+                    F.when(F.size(parts) < 2, empty)
+                     .when(F.element_at(parts, 2) == "", empty)
+                     .otherwise(F.split(F.element_at(parts, 2), ":", -1)),
+                    lambda rarr: _groups_to_struct(parts, larr, rarr)))))
+
+    def _groups_to_struct(parts: Column, larr: Column,
+                          rarr: Column) -> Column:
+        n_expl = F.size(larr) + F.size(rarr)
+        # '::' stands for at least one zero group → ≤ 7 explicit groups;
+        # without it, exactly 8
+        count_ok = F.when(F.size(parts) == 2, n_expl <= 7) \
+                    .when(F.size(parts) == 1, n_expl == 8) \
+                    .otherwise(F.lit(False))
+        groups = F.concat(
+            larr,
+            F.array_repeat(F.lit("0"), (F.lit(8) - n_expl).cast("int")),
+            rarr)
+        return _let(groups, lambda g: _let(
+            F.transform(g, lambda x: F.conv(x, 16, 10).cast("long")),
+            lambda vals: F.when(
+                count_ok & F.forall(g, lambda x: x.rlike(_HEX_GROUP)),
+                # shiftleft wraps like Java << — exactly the bit pattern
+                # we want for addresses with the top bit set
+                F.struct(
+                    F.aggregate(F.slice(vals, 1, 4), zero,
+                                lambda a, x: F.shiftleft(a, 16) + x)
+                    .alias("hi"),
+                    F.aggregate(F.slice(vals, 5, 4), zero,
+                                lambda a, x: F.shiftleft(a, 16) + x)
+                    .alias("lo")))))
+
+    return _let(col, parse)
