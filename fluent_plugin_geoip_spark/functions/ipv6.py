@@ -69,7 +69,6 @@ def ipv6_str_to_longs(col: Column) -> Column:
     computed exactly once per row."""
     from .ipv4 import ipv4_str_to_long
     empty = F.expr(_EMPTY_STR_ARRAY)
-    zero = F.lit(0).cast("long")
 
     def parse(s: Column) -> Column:
         # 1) embedded IPv4 tail → two hex groups, so one generic parser
@@ -113,18 +112,31 @@ def ipv6_str_to_longs(col: Column) -> Column:
             larr,
             F.array_repeat(F.lit("0"), (F.lit(8) - n_expl).cast("int")),
             rarr)
-        return _let(groups, lambda g: _let(
-            F.transform(g, lambda x: F.conv(x, 16, 10).cast("long")),
-            lambda vals: F.when(
-                count_ok & F.forall(g, lambda x: x.rlike(_HEX_GROUP)),
-                # shiftleft wraps like Java << — exactly the bit pattern
-                # we want for addresses with the top bit set
-                F.struct(
-                    F.aggregate(F.slice(vals, 1, 4), zero,
-                                lambda a, x: F.shiftleft(a, 16) + x)
-                    .alias("hi"),
-                    F.aggregate(F.slice(vals, 5, 4), zero,
-                                lambda a, x: F.shiftleft(a, 16) + x)
-                    .alias("lo")))))
+        # per-group work is flat element_at expressions, not
+        # transform/forall/aggregate HOFs: HOF lambda evaluation is
+        # interpreted per element, and this is the per-row hot loop of
+        # the enrich stage on v6-heavy workloads; element_at + conv +
+        # shiftleft all run inside whole-stage codegen. groups is
+        # let-bound, so its 16 references are slot reads.
+        def val(g, i):
+            return F.conv(F.element_at(g, i), 16, 10).cast("long")
+
+        def half(g, base):
+            # shiftleft wraps like Java << — exactly the bit pattern we
+            # want for addresses with the top bit set
+            return (F.shiftleft(val(g, base), 48)
+                    + F.shiftleft(val(g, base + 1), 32)
+                    + F.shiftleft(val(g, base + 2), 16)
+                    + val(g, base + 3))
+
+        def all_hex(g):
+            ok = F.lit(True)
+            for i in range(1, 9):
+                ok = ok & F.element_at(g, i).rlike(_HEX_GROUP)
+            return ok
+
+        return _let(groups, lambda g: F.when(
+            count_ok & all_hex(g),
+            F.struct(half(g, 1).alias("hi"), half(g, 5).alias("lo"))))
 
     return _let(col, parse)

@@ -573,3 +573,47 @@ def test_paragraph_dedup_handler_and_crash_replay(spark, tmp_path):
     # empty batch is a no-op
     h(spark.createDataFrame([], "doc_id long, text string"), 2)
     assert spark.read.parquet(store).count() == 4
+
+
+def test_streaming_handler_auto_compaction(spark, tmp_path):
+    """compact_every=K: the bucketed store is compacted through the
+    handler every K applied batches — duplicate double-append rows are
+    reclaimed, the lineage file survives, and later batches still probe
+    correctly through the compacted store."""
+    import json as _json
+
+    from fluent_plugin_geoip_spark.operators.route import _fs_read_text
+    from fluent_plugin_geoip_spark.streaming.stream import (
+        make_incremental_dedup_handler,
+    )
+    store = str(tmp_path / "bstore")
+    table = "t_stream_autocompact"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    h = make_incremental_dedup_handler(
+        store, str(tmp_path / "pairs"), str(tmp_path / "docs"),
+        threshold=0.8, store_table=table, store_bucket_by=4,
+        compact_every=2, compact_max_files_per_bucket=1)
+    base = "the quick brown fox jumps over the lazy dog %d "
+    h(spark.createDataFrame([(1, base % 1 * 5)],
+                            "doc_id long, text string"), 0)
+    h(spark.createDataFrame([(2, "first unique text " * 8)],
+                            "doc_id long, text string"), 1)
+    # 2 applied batches → compaction ran: one file per non-empty bucket
+    from fluent_plugin_geoip_spark.operators.dedup import (
+        _bucket_table_meta, _store_data_files,
+    )
+    meta = _bucket_table_meta(spark, table)
+    assert _store_data_files(spark, meta["location"]) <= 4
+    # lineage survived the swap
+    applied = _json.loads(_fs_read_text(
+        f"{store}/_lineage/applied_batches.json"))["applied"]
+    assert applied == [0, 1]
+    assert spark.table(table).count() == 16 * 2
+    # later batch still finds the cross-batch near-dup through the
+    # compacted store
+    h(spark.createDataFrame([(10, base % 1 * 5)],
+                            "doc_id long, text string"), 2)
+    got = {(r.id_a, r.id_b)
+           for r in spark.read.parquet(str(tmp_path / "pairs")).collect()}
+    assert (1, 10) in got
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
