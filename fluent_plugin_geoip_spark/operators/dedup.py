@@ -869,12 +869,20 @@ def update_clusters(clusters: DataFrame, new_pairs: DataFrame,
     Returns a persisted (id, comp, keep) table (caller owns
     ``unpersist()``); inputs are not modified — write the result over the
     stored table to complete the daily cycle."""
+    # the small sides are explicitly broadcast: ``clusters`` is
+    # corpus-sized at scale while touched ids / affected comps are
+    # O(new batch), so every join below must scan the cluster table
+    # NARROWLY (zero exchanges of the big table) — this is also what
+    # cuts the small-update fixed cost (measured 12.5 s → see round-8
+    # note: the un-hinted joins shuffled the cluster table per phase)
     touched_ids = (new_pairs.select(F.col("id_a").alias("id"))
                    .union(new_pairs.select(F.col("id_b").alias("id")))
                    .distinct())
-    affected_comps = (clusters.join(touched_ids, "id")
+    affected_comps = (clusters.join(F.broadcast(touched_ids), "id")
                       .select("comp").distinct())
-    affected = clusters.join(affected_comps, "comp", "left_semi")
+    affected = (clusters.join(F.broadcast(affected_comps), "comp",
+                              "left_semi")
+                .persist())
     # star edges of the affected clusters carry their full connectivity
     star_edges = (affected.filter(F.col("id") != F.col("comp"))
                   .select(F.col("comp").alias("id_a"),
@@ -886,7 +894,8 @@ def update_clusters(clusters: DataFrame, new_pairs: DataFrame,
     labels = connected_components(
         star_edges.union(new_pairs.select("id_a", "id_b")), max_iters,
         algorithm, initial_labels=affected.select("id", "comp"))
-    untouched = clusters.join(affected_comps, "comp", "left_anti")
+    untouched = clusters.join(F.broadcast(affected_comps), "comp",
+                              "left_anti")
     out = (untouched.select("id", "comp", "keep")
            .union(labels.select(
                "id", "comp",
@@ -894,6 +903,7 @@ def update_clusters(clusters: DataFrame, new_pairs: DataFrame,
            .persist())
     out.count()
     release_checkpoint(labels)
+    affected.unpersist()
     return out
 
 
