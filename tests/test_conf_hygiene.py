@@ -161,3 +161,36 @@ def test_incremental_sig_store_no_duplicate_pairs(spark, tmp_path):
     assert len(rows) == len(set(rows))
     assert (1, 10) in rows
     spark.sql("DROP TABLE IF EXISTS t_dupsig_store")
+
+
+def test_ipv6_parse_survives_ansi_mode(spark):
+    """The v6 jvm kernel's parse uses element_at/conv/shiftleft, whose
+    error behavior changes under ANSI mode; the expression is constructed
+    so no out-of-bounds access or invalid cast can occur on ANY input
+    (groups is always ≥8 elements by construction) — pinned here by
+    running the accept/reject matrix with ANSI on."""
+    import socket
+
+    from pyspark.sql import functions as F
+
+    from fluent_plugin_geoip_spark.functions.ipv6 import ipv6_str_to_longs
+    cases = ["1:2:3:4:5:6:7::", "::", "1:2:3:4:5:6:7:8", "::ffff:1.2.3.4",
+             "garbage", "1::2::3", ":::", "", "8000::", "12345::",
+             "ffff:ffff:ffff:ffff:ffff:ffff:ffff:ffff",
+             "1:2:3:4:5:6:7:1.2.3.4"]
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    with scoped_conf(spark, "spark.sql.ansi.enabled", "true"):
+        rows = df.withColumn("p", ipv6_str_to_longs(F.col("s"))).collect()
+    for r in rows:
+        c = r.s or ""
+        try:
+            b = socket.inet_pton(socket.AF_INET6, c)
+            v = int.from_bytes(b, "big")
+
+            def sg(u):
+                return u - (1 << 64) if u >= (1 << 63) else u
+            want = (sg(v >> 64), sg(v & ((1 << 64) - 1)))
+        except OSError:
+            want = None
+        got = (r.p.hi, r.p.lo) if r.p is not None else None
+        assert got == want, (c, got, want)
