@@ -780,9 +780,19 @@ def _star_components(edges: DataFrame, max_rounds: int = 25) -> DataFrame:
         small = (linked.union(
                     nmin2.select(F.col("src"), F.col("m").alias("dst")))
                  .filter(F.col("src") != F.col("dst")).distinct())
-        sc = small.localCheckpoint()
+        # fingerprint folded into the round's checkpoint job (round 8,
+        # same observe() device as label propagation): the count + XOR
+        # hash are collected while the eager localCheckpoint
+        # materializes, instead of a separate aggregate job per round
+        from pyspark.sql import Observation
+        obs = Observation()
+        sc = (small.observe(
+                  obs, F.count(F.lit(1)).alias("n"),
+                  F.expr("bit_xor(xxhash64(src, dst))").alias("h"))
+              .localCheckpoint())
         release_checkpoint(lc)
-        new_fp = _edges_fingerprint(sc)
+        om = obs.get
+        new_fp = (om["n"], om["h"])
         # fixed point = unchanged fingerprint AND a genuine star forest
         # (no edge's target is itself another edge's source) — the second
         # check makes a fingerprint collision harmless rather than a
