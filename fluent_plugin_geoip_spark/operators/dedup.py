@@ -1427,14 +1427,8 @@ def incremental_minhash_dedup(
                             minhash_signature(F.col(text_col), n,
                                               num_hashes, seed=seed)
                             .alias("sig"))
-        # one sig row per id: appends over overlapping corpora (or a batch
-        # id already present in the companion) would otherwise fan the two
-        # left joins out and duplicate (id_a,id_b) rows in the RETURNED
-        # pair table (round-7 ADVICE). Any surviving row still gets exact
-        # gram verification, so keeping an arbitrary one is sound.
         all_sigs = (spark.read.parquet(sig_store_path(store_dir))
                     .select("id", "sig").unionByName(batch_sigs)
-                    .dropDuplicates(["id"])
                     .persist())
         est = F.size(F.filter(
             F.zip_with("__sa", "__sb", lambda a, b: a == b),
@@ -1447,6 +1441,15 @@ def incremental_minhash_dedup(
                     .filter(F.col("__sa").isNull() | F.col("__sb").isNull()
                             | (est >= cutoff))
                     .select("id_a", "id_b")
+                    # distinct HERE, not a dropDuplicates on all_sigs:
+                    # duplicate (id, sig) companion rows (appends over
+                    # overlapping corpora) fan the two left joins out, but
+                    # deduping the companion would SHUFFLE the corpus-sized
+                    # sig table on every probe — the post-screen set is
+                    # tiny, so the distinct costs nothing and the returned
+                    # pair table stays duplicate-free (round-7 ADVICE,
+                    # re-sited in round 8 for scale)
+                    .distinct()
                     .persist())
         screened.count()
         all_sigs.unpersist()
