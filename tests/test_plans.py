@@ -416,3 +416,32 @@ def test_paragraph_dedup_partial_agg_no_window(spark, tmp_path_factory):
     assert aggs == 4, tree
     # exactly two shuffles: the paragraph winner shuffle + the doc rebuild
     assert _shuffles(tree) == 2, tree
+
+
+def test_jvm_join_v6_multi_key(spark):
+    """Two lookup keys through the v6 jvm path: each key gets its own
+    parse column + v4/v6 broadcast join pair (4 BroadcastHashJoins, no
+    Python), and the per-key structs stay independent."""
+    from fluent_plugin_geoip_spark.config import GeoipConfig
+    from fluent_plugin_geoip_spark.operators.enrich import GeoipEnricher
+    from fluent_plugin_geoip_spark.operators.geolookup import GeoDatabase
+    db = GeoDatabase.from_mmdb(
+        "tests/fixtures/geolite2-city-v6-test.mmdb")
+    cfg = GeoipConfig(
+        lookup_keys=["src", "dst"],
+        records={"src_c": "${country.iso_code['src']}",
+                 "dst_c": "${country.iso_code['dst']}"})
+    df = spark.createDataFrame(
+        [("2001:db8::1", "66.102.3.80"),
+         ("8.8.8.8", "2400:cb00::9"),
+         ("garbage", "")],
+        "src string, dst string")
+    out = GeoipEnricher(spark, cfg, db, strategy="jvm_join").transform(df)
+    plan = explain(out)
+    tree = plan.split("\n\n")[0]
+    assert "ArrowEvalPython" not in tree, tree
+    assert tree.count("BroadcastHashJoin") == 4, tree
+    rows = {(r.src, r.src_c, r.dst_c) for r in out.collect()}
+    assert ("2001:db8::1", "V6", "US") in rows
+    assert ("8.8.8.8", "US", "AU") in rows
+    assert ("garbage", None, None) in rows
