@@ -33,7 +33,6 @@ from pyspark.sql import Column, functions as F
 # strict dotted-quad octet (value ≤ 255, no leading zeros) — glibc's
 # embedded-v4 grammar, deliberately stricter than functions.ipv4's
 _OCT = r"(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9][0-9]|[0-9])"
-_V4_TAIL = rf":{_OCT}\.{_OCT}\.{_OCT}\.{_OCT}$"
 _HEX_GROUP = r"^[0-9A-Fa-f]{1,4}$"
 _EMPTY_STR_ARRAY = "CAST(array() AS array<string>)"
 
@@ -72,23 +71,35 @@ def ipv6_str_to_longs(col: Column) -> Column:
 
     def parse(s: Column) -> Column:
         # 1) embedded IPv4 tail → two hex groups, so one generic parser
-        #    runs. The loose regexp_extract only fires under the STRICT
-        #    gate; a loose-but-not-strict tail (leading-zero octet, >255)
-        #    falls through to the generic parser, where the dotted group
-        #    fails the hex-group check — invalid either way, exactly like
-        #    inet_pton.
-        has_v4 = s.rlike(r"^[0-9A-Fa-f:]*" + _V4_TAIL)
-        tail = F.regexp_extract(
-            s, r":(\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3})$", 1)
-        head = F.regexp_replace(
-            s, r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$", "")
-        s2 = _let(ipv4_str_to_long(tail), lambda v4: F.when(
-            has_v4 & v4.isNotNull(),
-            F.concat(head,
-                     F.conv(F.shiftright(v4, 16).cast("string"), 10, 16),
-                     F.lit(":"),
-                     F.conv(v4.bitwiseAND(F.lit(0xFFFF)).cast("string"),
-                            10, 16))).otherwise(s))
+        #    runs (round 9 restructure, guide §1.2 per-task work — was
+        #    three whole-string regex passes per row):
+        #    - the dotted quad, when present, always sits after the LAST
+        #      colon, so ``substring_index(s, ':', -1)`` isolates it
+        #      without a regex; the strict-octet gate (0-255, no leading
+        #      zeros — glibc rejects ``::ffff:010.1.1.1``) then runs one
+        #      short anchored rlike over the ≤15-char tail only;
+        #    - the old ``^[0-9A-Fa-f:]*`` head check is dropped: a head
+        #      with garbage characters survives the fold but every such
+        #      character lands inside some group of the generic parser,
+        #      where the hex-group check rejects it — invalid either way,
+        #      exactly like inet_pton (case analysis: a '.' left in the
+        #      head stays inside a group → non-hex → null, matching the
+        #      old no-fold path where the dotted TAIL group failed).
+        #    - everything is gated behind one cheap ``contains('.')``
+        #      substring scan; dot-free rows (most real v6 text) skip the
+        #      whole branch.
+        tail = F.substring_index(s, ":", -1)
+        strict_quad = rf"^{_OCT}\.{_OCT}\.{_OCT}\.{_OCT}$"
+        folded = _let(tail, lambda tl: _let(
+            ipv4_str_to_long(tl), lambda v4: F.when(
+                tl.rlike(strict_quad) & v4.isNotNull(),
+                F.concat(
+                    s.substr(F.lit(1), F.length(s) - F.length(tl)),
+                    F.conv(F.shiftright(v4, 16).cast("string"), 10, 16),
+                    F.lit(":"),
+                    F.conv(v4.bitwiseAND(F.lit(0xFFFF)).cast("string"),
+                           10, 16))).otherwise(s)))
+        s2 = F.when(s.contains("."), folded).otherwise(s)
         # 2) split on '::' (at most one), then on ':'
         return _let(s2, lambda t: _let(
             F.split(t, "::", -1), lambda parts: _let(
@@ -130,10 +141,15 @@ def ipv6_str_to_longs(col: Column) -> Column:
                     + val(g, base + 3))
 
         def all_hex(g):
-            ok = F.lit(True)
-            for i in range(1, 9):
-                ok = ok & F.element_at(g, i).rlike(_HEX_GROUP)
-            return ok
+            # ONE anchored regex over the ':'-joined groups replaces the
+            # eight per-group rlike passes (round 9, guide §1.2): a group
+            # that is empty, longer than 4 chars, or non-hex makes the
+            # joined string fail exactly as it failed ^[0-9A-Fa-f]{1,4}$ —
+            # groups come from split(':') so none can contain ':', none is
+            # null, and under count_ok (evaluated first; And short-
+            # circuits) there are exactly 8 of them.
+            return F.array_join(g, ":").rlike(
+                r"^[0-9A-Fa-f]{1,4}(?::[0-9A-Fa-f]{1,4}){7}$")
 
         return _let(groups, lambda g: F.when(
             count_ok & all_hex(g),

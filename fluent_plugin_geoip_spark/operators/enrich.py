@@ -184,23 +184,40 @@ class GeoipEnricher:
     # +65 536 rows while keeping per-bucket piece counts tiny for real DBs
     JVM_JOIN_SHIFT = 16
 
+    def _db_plan_cache(self) -> dict:
+        """Expanded-table cache stored ON the GeoDatabase instance (round
+        9): databases are driver-cached per file (`geolookup._DB_CACHE`),
+        but enrichers are rebuilt per query invocation — keying the
+        deterministic expanded tables on the (immutable) db rather than
+        the enricher reuses the one-time construction across invocations
+        in the same session. Keyed on the session too, so a new
+        SparkSession (tests) never sees another session's DataFrames.
+        This caches a logical LOCAL RELATION (the range table), never a
+        query result — every probe still computes from its inputs."""
+        cache = getattr(self.db, "_expanded_plan_cache", None)
+        if cache is None:
+            cache = {}
+            object.__setattr__(self.db, "_expanded_plan_cache", cache)
+        return cache
+
     def _range_df_for(self, attrs: list[str]):
         """Broadcast-ready expanded bucket table, cached per attr set
         (common-subexpression reuse, mirroring the UDF cache)."""
         from .geolookup import expanded_bucket_table
-        key = ("jvm", *attrs)
-        if key not in self._udf_cache:
-            self._udf_cache[key] = expanded_bucket_table(
+        cache = self._db_plan_cache()
+        key = (id(self.spark), "jvm", self.JVM_JOIN_SHIFT, *attrs)
+        if key not in cache:
+            cache[key] = expanded_bucket_table(
                 self.spark, self.db, attrs, shift=self.JVM_JOIN_SHIFT)
-        return self._udf_cache[key]
+        return cache[key]
 
     def _range_df_v6_for(self, attrs: list[str]):
         from .geolookup import expanded_bucket_table_v6
-        key = ("jvm6", *attrs)
-        if key not in self._udf_cache:
-            self._udf_cache[key] = expanded_bucket_table_v6(
-                self.spark, self.db, attrs)
-        return self._udf_cache[key]
+        cache = self._db_plan_cache()
+        key = (id(self.spark), "jvm6", *attrs)
+        if key not in cache:
+            cache[key] = expanded_bucket_table_v6(self.spark, self.db, attrs)
+        return cache[key]
 
     def _jvm_join_geo(self, df: DataFrame, i: int, ip_name: str,
                       col_name: str, attrs: list[str],

@@ -1,13 +1,15 @@
 """Multimodal columns: image/audio/video as opaque binary columns with typed
 metadata, processed through Arrow-batched ``mapInPandas``.
 
-Decoding is pluggable (``DECODERS``: mime → bytes→ndarray). One REAL decoder
-ships in-repo: binary PPM (P6) parsed with pure NumPy — no image libraries
-needed — so the image path exercises actual pixel decoding end to end.
-Compressed formats (JPEG/PNG) and audio/video decode need external libs the
-sandbox lacks; those mimes raise ``NotImplementedError`` unless the caller
-opts into the deterministic hash-derived stand-in (``fake=True``), which
-keeps the pipeline shape benchmarkable.
+Decoding is pluggable (``DECODERS``: mime → bytes→ndarray). FIVE real
+decoders ship in-repo, all pure NumPy — binary PPM (P6), PNG
+(``sources/png.py``: from-scratch zlib inflate + all five scanline
+filters), baseline JPEG (``sources/jpeg.py``: markers, canonical Huffman,
+DC prediction, dequant/IDCT, YCbCr), PCM WAV (RIFF parse), and raw
+concatenated-PPM video. Only truly external containers (MP4/Ogg/MP3,
+progressive JPEG) raise ``NotImplementedError`` unless the caller opts
+into the deterministic hash-derived stand-in (``fake=True``), which keeps
+the pipeline shape benchmarkable.
 
 At 100 TB the important properties are the ones this module pins down:
 media bytes never leave their partition (narrow ``mapInPandas``), feature
