@@ -37,22 +37,14 @@ _HEX_GROUP = r"^[0-9A-Fa-f]{1,4}$"
 _EMPTY_STR_ARRAY = "CAST(array() AS array<string>)"
 
 
-def _let(value: Column, body) -> Column:
-    """A true let-binding inside one Catalyst expression: evaluate
-    ``value`` ONCE, bind it to a lambda variable, evaluate ``body`` with
-    cheap variable references. Implemented as a single-element-array
-    ``transform`` (HOF arguments are evaluated once; lambda variables are
-    plain slot reads).
-
-    Why it exists: a Column is an expression TREE — every Python-level
-    reference to an intermediate embeds a full copy of its subtree, so a
-    parser written as one big composed Column re-evaluated its staged
-    intermediates ~14× per row (the whole dotted-quad fold ran inside
-    every reference to the group array), measured at ~57× the cost of
-    the let-bound form on the same input. Codegen's common-subexpression
-    elimination does not reach through HOF lambdas, so the binding must
-    be structural."""
-    return F.element_at(F.transform(F.array(value), body), 1)
+# The let-binding lives in functions.binding since round 9 (the same
+# device fixes the O(len^2) shingle/n-gram expansions in dedup/curation);
+# the local alias keeps this module's call sites unchanged. History: a
+# parser written as one big composed Column re-evaluated its staged
+# intermediates ~14x per row, measured at ~57x the cost of the let-bound
+# form — codegen's common-subexpression elimination does not reach
+# through HOF lambdas, so the binding must be structural.
+from .binding import let_ as _let  # noqa: E402
 
 
 def ipv6_str_to_longs(col: Column) -> Column:

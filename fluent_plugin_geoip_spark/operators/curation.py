@@ -26,6 +26,7 @@ import re
 from pyspark.sql import Column, DataFrame, functions as F
 
 from ..confutil import dynamic_overwrite
+from ..functions.binding import let_
 from .textstats import tokens
 
 # ---------------------------------------------------------------------------
@@ -78,28 +79,40 @@ def repetition_features(text: Column) -> Column:
     The mode count and bigram distinct are O(L^2) per row but stay inside
     whole-stage codegen; see the module docstring for the cap-at-ingest
     guidance on untrimmed documents."""
-    w = tokens(text)
-    n = F.size(w)
-    safe_n = F.greatest(n, F.lit(1))
-    top = F.array_max(F.transform(
-        F.array_distinct(w),
-        lambda x: F.size(F.filter(w, lambda y: y == x))))
-    bi = F.zip_with(F.slice(w, 1, F.greatest(n - 1, F.lit(0))),
-                    F.slice(w, 2, F.greatest(n - 1, F.lit(0))),
-                    lambda a, b: F.concat_ws(" ", a, b))
-    # degenerate docs (0 words / 0 bigrams) read as 0 repetition, not 1 —
-    # a one-word document must not trip a repetition ceiling
-    dup_w = F.when(n == 0, F.lit(0.0)) \
-             .otherwise(1.0 - F.size(F.array_distinct(w)) / safe_n)
-    dup_bi = F.when(F.size(bi) == 0, F.lit(0.0)) \
-              .otherwise(1.0 - F.size(F.array_distinct(bi))
-                         / F.size(bi).cast("double"))
-    return F.struct(
-        n.alias("n_words"),
-        dup_w.alias("dup_word_frac"),
-        (F.coalesce(top, F.lit(0)) / safe_n).alias("top_word_frac"),
-        dup_bi.alias("dup_bigram_frac"),
-    )
+    # the token array (a split() over the whole document) is let-bound:
+    # the mode-count transform's lambda runs interpreted once per DISTINCT
+    # token, and an inline `w` would re-tokenize the document inside every
+    # one of those filter scans — O(tokens^2) regex work per row (round-9
+    # fix, same class as the ipv6 parser bug — A/B in
+    # docs/hof_let_r9.jsonl). The bigram array is bound for the same
+    # reason (three references, each a full zip_with re-evaluation).
+    def build(w: Column) -> Column:
+        n = F.size(w)
+        safe_n = F.greatest(n, F.lit(1))
+        top = F.array_max(F.transform(
+            F.array_distinct(w),
+            lambda x: F.size(F.filter(w, lambda y: y == x))))
+        bi = F.zip_with(F.slice(w, 1, F.greatest(n - 1, F.lit(0))),
+                        F.slice(w, 2, F.greatest(n - 1, F.lit(0))),
+                        lambda a, b: F.concat_ws(" ", a, b))
+        # degenerate docs (0 words / 0 bigrams) read as 0 repetition,
+        # not 1 — a one-word document must not trip a repetition ceiling
+        dup_w = F.when(n == 0, F.lit(0.0)) \
+                 .otherwise(1.0 - F.size(F.array_distinct(w)) / safe_n)
+
+        def dup_bi(b: Column) -> Column:
+            return F.when(F.size(b) == 0, F.lit(0.0)) \
+                    .otherwise(1.0 - F.size(F.array_distinct(b))
+                               / F.size(b).cast("double"))
+
+        return F.struct(
+            n.alias("n_words"),
+            dup_w.alias("dup_word_frac"),
+            (F.coalesce(top, F.lit(0)) / safe_n).alias("top_word_frac"),
+            let_(bi, dup_bi).alias("dup_bigram_frac"),
+        )
+
+    return let_(tokens(text), build)
 
 
 def drop_repetitive(df: DataFrame, text_col: str = "text",
@@ -420,11 +433,16 @@ def ngram_counts(df: DataFrame, text_col: str = "text", n: int = 2,
 def _token_ngrams(w: Column, n: int) -> Column:
     """All space-joined n-grams of token array ``w`` (empty when shorter
     than ``n``), as one codegen'd higher-order expression."""
-    return F.when(
-        F.size(w) >= n,
-        F.transform(F.sequence(F.lit(1), F.size(w) - (n - 1)),
-                    lambda i: F.array_join(F.slice(w, i, n), " "))
-    ).otherwise(F.array().cast("array<string>"))
+    # the token array is let-bound: the transform lambda runs interpreted
+    # once PER GRAM, and an inline `w` (a split() over the whole document)
+    # would re-tokenize the document for every gram — O(tokens^2) regex
+    # work per row (round-9 fix, same class as the ipv6 parser bug —
+    # A/B in docs/hof_let_r9.jsonl)
+    return let_(w, lambda wb: F.when(
+        F.size(wb) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(wb) - (n - 1)),
+                    lambda i: F.array_join(F.slice(wb, i, n), " "))
+    ).otherwise(F.array().cast("array<string>")))
 
 
 # ---------------------------------------------------------------------------

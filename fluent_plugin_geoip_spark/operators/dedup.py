@@ -28,6 +28,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from ..confutil import dynamic_overwrite
+from ..functions.binding import let_
 
 log = logging.getLogger(__name__)
 
@@ -79,9 +80,15 @@ def shingle_set(text: Column, n: int = 5) -> Column:
 
 
 def _shingle_grams(text: Column, n: int) -> Column:
+    # the normalized text is let-bound: the transform lambda is evaluated
+    # interpreted once PER GRAM, and an inline `t` would re-run the
+    # whitespace regex over the whole document for every gram — O(len^2)
+    # per row (round-9 fix, same class as the ipv6 parser's 57x bug —
+    # A/B in docs/hof_let_r9.jsonl)
     t = F.lower(F.regexp_replace(text, r"\s+", " "))
-    idx = F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(1)))
-    return F.transform(idx, lambda i: t.substr(i, F.lit(n)))
+    return let_(t, lambda tb: F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(tb) - (n - 1), F.lit(1))),
+        lambda i: tb.substr(i, F.lit(n))))
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -271,6 +278,7 @@ def lsh_candidate_pairs(df: DataFrame, sig_col: str, id_col: str = "id",
     # copies), exploding analysis/codegen time. Persisting the (id, sig)
     # projection is also the right call at scale — a 64-hash signature is
     # ~520 B/row and is probed by every band.
+    from pyspark.sql import Observation
     sigs = df.select(F.col(id_col).alias("id"), F.col(sig_col).alias("__sig")) \
              .persist()
     exploded = (sigs.select("id",
@@ -278,15 +286,21 @@ def lsh_candidate_pairs(df: DataFrame, sig_col: str, id_col: str = "id",
                             .alias("b"))
                 .select("id", F.col("b.band").alias("band"),
                         F.col("b.key").alias("key")))
+    # the over-full-bucket audit rides the SAME job as the pair
+    # materialization (round 9, guide §1/§2: the measured per-shuffle-job
+    # floor on the bench box is ~0.6 s, so a separate audit count doubled
+    # this function's fixed cost). observe() sits directly on the grouped
+    # aggregate — above every filter — and Spark 4.1 delivers the metric
+    # even when downstream filters empty the relation (verified: AQE
+    # empty-relation propagation returns {n:0}, no hang; the round-5
+    # failure shape was an observe below the dropped filter).
+    obs = Observation()
     grouped = (exploded.groupBy("band", "key")
                .agg(F.sort_array(F.collect_list("id")).alias("ids"))
                .withColumn("bucket_size", F.size("ids"))
                .filter(F.col("bucket_size") > 1)
-               .persist())  # one shuffle serves both the audit and the pairs
-    n_dropped = grouped.filter(F.col("bucket_size") > max_bucket).count()
-    if n_dropped:
-        log.warning("lsh_candidate_pairs: dropping %d over-full buckets "
-                    "(> %d ids)", n_dropped, max_bucket)
+               .observe(obs, F.sum((F.col("bucket_size") > max_bucket)
+                                   .cast("long")).alias("n_dropped")))
     pairs = (grouped.filter(F.col("bucket_size") <= max_bucket)
              .select(F.explode(F.expr(
                  "flatten(transform(ids, (x, i) -> "
@@ -296,7 +310,10 @@ def lsh_candidate_pairs(df: DataFrame, sig_col: str, id_col: str = "id",
              .distinct()
              .persist())
     pairs.count()  # materialize (small), then release the upstream caches
-    grouped.unpersist()
+    n_dropped = int(obs.get["n_dropped"] or 0)
+    if n_dropped:
+        log.warning("lsh_candidate_pairs: dropping %d over-full buckets "
+                    "(> %d ids)", n_dropped, max_bucket)
     sigs.unpersist()
     return pairs
 
@@ -386,24 +403,33 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str = "doc_id",
         est = F.size(F.filter(
             F.zip_with("__sa", "__sb", lambda a, b: a == b),
             lambda x: x)) / F.lit(float(num_hashes))
-        screened = (cands
-                    .join(sigs.withColumnsRenamed(
-                        {"id": "id_a", "sig": "__sa"}), "id_a")
-                    .join(sigs.withColumnsRenamed(
-                        {"id": "id_b", "sig": "__sb"}), "id_b")
-                    .filter(est >= cutoff)
-                    .select("id_a", "id_b")
-                    .persist())
-        screened.count()  # materialize, then release the sig/cand caches
-        cands.unpersist()
-        cands = screened
-    sigs.unpersist()
+        # the screen stays LAZY (round 9): its former count() barrier was a
+        # full extra job per invocation (~0.6 s fixed cost on the bench
+        # box) purely to release caches early. The verifier's own
+        # materialization below computes the screen in the same job; the
+        # raw candidates are already materialized (lsh_candidate_pairs),
+        # so the screen joins read cached inputs and the sig cache is
+        # released right after verification instead.
+        raw_cands = cands
+        cands = (cands
+                 .join(sigs.withColumnsRenamed(
+                     {"id": "id_a", "sig": "__sa"}), "id_a")
+                 .join(sigs.withColumnsRenamed(
+                     {"id": "id_b", "sig": "__sb"}), "id_b")
+                 .filter(est >= cutoff)
+                 .select("id_a", "id_b")
+                 .persist())
+    else:
+        raw_cands = cands
     out = ngram_jaccard_pairs(df, id_col, text_col, n, threshold,
                               candidates=cands, exact_grams=exact_grams)
-    # the verifier materialized its (persisted) result, so the candidate
+    # the verifier materialized its (persisted) result, so every upstream
     # cache can be released here rather than leaking per invocation
     # (round-7: found by the dedup_clusters cache-hygiene test). The
     # RETURNED verified pairs stay persisted — caller owns unpersist().
+    sigs.unpersist()
+    if raw_cands is not cands:
+        raw_cands.unpersist()
     cands.unpersist()
     return out
 
@@ -504,21 +530,22 @@ def simhash_dedup(df: DataFrame, id_col: str = "doc_id",
     # largest shuffle of the old plan entirely. (MinHash keeps the join
     # form: its signatures are ~1 KB and verification needs shingles, not
     # signatures.)
+    # The skew-cap audit rides the SAME job as the pair materialization
+    # (round 9): observe() sits on the grouped aggregate ABOVE the
+    # max_bucket filter, where Spark 4.1 delivers the metric even when the
+    # filter drops every bucket (verified against AQE empty-relation
+    # propagation — the round-5 failure shape was an observe placed BELOW
+    # the dropped filter, which is exactly what this placement avoids).
+    # The separate audit count was a full extra shuffle job (~0.6 s fixed
+    # cost on the bench box) per invocation.
+    from pyspark.sql import Observation
+    obs = Observation()
     grouped = (exploded.groupBy("band", "key")
                .agg(F.collect_list(F.struct("id", "sig")).alias("ids"))
                .withColumn("bucket_size", F.size("ids"))
                .filter(F.col("bucket_size") > 1)
-               .persist())
-    # Eager skew-cap accounting on the cached buckets (the
-    # lsh_candidate_pairs pattern; cache released after materialization
-    # below). Round 5's lazy Observation variant is unreliable: AQE's
-    # empty-relation propagation discards the CollectMetrics result exactly
-    # when every bucket is dropped — the one case the warning exists for.
-    n_dropped = grouped.filter(F.col("bucket_size") > max_bucket).count()
-    if n_dropped:
-        log.warning("simhash_dedup: dropping %d over-full buckets "
-                    "(> %d ids) — pairs inside them are NOT emitted",
-                    n_dropped, max_bucket)
+               .observe(obs, F.sum((F.col("bucket_size") > max_bucket)
+                                   .cast("long")).alias("n_dropped")))
     # bucket lists stay UNSORTED (the struct sort was pure overhead —
     # measured ~35% of the capped path); pair orientation id_a < id_b comes
     # from least/greatest on the ids instead
@@ -537,7 +564,11 @@ def simhash_dedup(df: DataFrame, id_col: str = "doc_id",
            .distinct()
            .persist())
     out.count()  # materialize (small), release the upstream caches
-    grouped.unpersist()
+    n_dropped = int(obs.get["n_dropped"] or 0)
+    if n_dropped:
+        log.warning("simhash_dedup: dropping %d over-full buckets "
+                    "(> %d ids) — pairs inside them are NOT emitted",
+                    n_dropped, max_bucket)
     sigs.unpersist()
     return out
 
@@ -566,9 +597,97 @@ def release_checkpoint(df: DataFrame) -> None:
         pass
 
 
+# Hard edge-count bound for the driver-side union-find fast path of
+# connected_components. Sized so the bounded collect stays a driver
+# non-event (200k edges ≈ 3 MB over Arrow, well under any sane
+# maxResultSize; the pure-Python union loop is ~0.5 s worst case) while
+# covering every realistically tiny subgraph — near-dup components and
+# incremental touched subgraphs are orders of magnitude below it. Above
+# the bound the distributed algorithms run unchanged, so the fast path
+# can never be the thing that falls over at scale.
+DRIVER_CC_MAX_EDGES = 200_000
+
+
+def _driver_components(edges: DataFrame,
+                       initial_labels: DataFrame | None,
+                       limit: int) -> DataFrame | None:
+    """Exact min-label connected components of a SMALL edge set, computed
+    on the driver: bounded collect (the caller has already verified the
+    edge count against ``limit``) → NumPy/dict-free union-find → one
+    Arrow ``createDataFrame`` back. Returns None when ``initial_labels``
+    overflows its own bound (caller falls back to the distributed loop).
+
+    Exactness vs the distributed fixpoint: label propagation converges to,
+    for each node, min over its edge-reachable set of the initial labels
+    ``min(seed(v), v)``. Union-find over the edges alone yields the
+    reachable sets; folding each member's clamped seed into its
+    component's minimum afterwards reproduces exactly that fixpoint —
+    seeds are labels, NOT connectivity, so they must not merge components
+    (the documented seeding contract makes any such merge a no-op, but
+    the fold keeps the equivalence unconditional)."""
+    spark = edges.sparkSession
+    from ..confutil import scoped_conf
+    with scoped_conf(spark, "spark.sql.execution.arrow.pyspark.enabled",
+                     "true"):
+        e = edges.toPandas()
+        seeds = None
+        if initial_labels is not None:
+            cap = 2 * limit + 2
+            seeds = (initial_labels.select("id", "comp")
+                     .limit(cap).toPandas())
+            if len(seeds) >= cap:
+                return None  # seeding table not subgraph-sized — fall back
+    id_type = edges.schema["src"].dataType
+    src = e["src"].to_numpy(dtype=np.int64)
+    dst = e["dst"].to_numpy(dtype=np.int64)
+    ids = np.unique(np.concatenate([src, dst]))
+    si = np.searchsorted(ids, src)
+    di = np.searchsorted(ids, dst)
+    parent = np.arange(len(ids), dtype=np.int64)
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, int(parent[x])
+        return root
+
+    for a, b in zip(si.tolist(), di.tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    roots = np.fromiter((find(i) for i in range(len(ids))),
+                        dtype=np.int64, count=len(ids))
+    comp_min = ids.copy()
+    np.minimum.at(comp_min, roots, ids)
+    if seeds is not None and len(seeds):
+        s = seeds.dropna()
+        sid = s["id"].to_numpy(dtype=np.int64)
+        scomp = s["comp"].to_numpy(dtype=np.int64)
+        pos = np.searchsorted(ids, sid)
+        ok = (pos < len(ids))
+        ok[ok] = ids[pos[ok]] == sid[ok]
+        # same clamp as the distributed seeding: least(seed, id) — a seed
+        # above the node id must not raise the label
+        np.minimum.at(comp_min, roots[pos[ok]],
+                      np.minimum(scomp[ok], sid[ok]))
+    import pandas as pd
+    from pyspark.sql import types as T
+    np_t = np.int64 if isinstance(id_type, T.LongType) else np.int32
+    pdf = pd.DataFrame({"id": ids.astype(np_t),
+                        "comp": comp_min[roots].astype(np_t)})
+    schema = T.StructType([T.StructField("id", id_type),
+                           T.StructField("comp", id_type)])
+    with scoped_conf(spark, "spark.sql.execution.arrow.pyspark.enabled",
+                     "true"):
+        return spark.createDataFrame(pdf, schema)
+
+
 def connected_components(pairs: DataFrame, max_iters: int = 25,
                          algorithm: str = "auto",
-                         initial_labels: DataFrame | None = None
+                         initial_labels: DataFrame | None = None,
+                         driver_max_edges: int | None = None
                          ) -> DataFrame:
     """(id_a, id_b) near-dup edges → (id, component) where ``component`` is
     the minimum doc id reachable through the pair graph — the clustering
@@ -601,6 +720,20 @@ def connected_components(pairs: DataFrame, max_iters: int = 25,
     owns releasing them with :func:`release_checkpoint` once fully
     consumed (after which they cannot be recomputed).
 
+    ``driver_max_edges`` (round 9): hard edge-count bound under which the
+    labeling is computed by an exact driver-side union-find over a bounded
+    collect instead of the distributed loop — on tiny graphs (every
+    near-dup component set at bench scale, every incremental touched
+    subgraph) the distributed rounds are pure per-job fixed cost.
+    ``None`` → :data:`DRIVER_CC_MAX_EDGES`; ``0`` disables the fast path
+    (the unit tests certifying the distributed algorithms do this).
+    The edge count is observed during the checkpoint job, so the guard
+    costs no extra job; above the bound the distributed path runs
+    unchanged, which is what keeps the design 100 TB-safe. On the fast
+    path ``max_iters`` does not apply (the result is exact by
+    construction) and the returned labels are a plain local-backed
+    DataFrame (``release_checkpoint`` on them is a no-op).
+
     ``initial_labels`` (optional, label_prop only — star recomputes from
     scratch): an (id, comp) seeding. When the caller already KNOWS a valid
     partial labeling — :func:`update_clusters` knows every touched
@@ -622,12 +755,37 @@ def connected_components(pairs: DataFrame, max_iters: int = 25,
     # measured 8–10 s/round vs ~1 s on an identical graph with flat
     # lineage. Checkpointing cuts the lineage so every round plans against
     # a LogicalRDD leaf. (Same executor-loss caveat as the labels
-    # checkpoints, documented below.)
+    # checkpoints, documented below.) The edge count rides the checkpoint
+    # job via observe() — it gates the driver fast path below for free.
+    from pyspark.sql import Observation
+    cnt_obs = Observation()
     edges = (pairs.select(F.col("id_a").alias("src"),
                           F.col("id_b").alias("dst"))
              .union(pairs.select(F.col("id_b").alias("src"),
                                  F.col("id_a").alias("dst")))
-             .distinct().localCheckpoint())
+             .distinct()
+             .observe(cnt_obs, F.count(F.lit(1)).alias("n"))
+             .localCheckpoint())
+    n_edges = int(cnt_obs.get["n"] or 0)
+    limit = (DRIVER_CC_MAX_EDGES if driver_max_edges is None
+             else int(driver_max_edges))
+    if n_edges <= limit and limit > 0:
+        # Driver union-find fast path (round 9, the round-8 VERDICT item-5
+        # device): below the hard edge bound, every distributed round is
+        # pure fixed job overhead on a tiny graph — measured ~0.6 s per
+        # shuffle job on the bench box vs milliseconds of actual work —
+        # so the whole loop is replaced by one bounded collect + exact
+        # union-find + one Arrow createDataFrame. Identical labeling by
+        # construction (see _driver_components; pinned against both
+        # distributed algorithms on random graphs in
+        # tests/test_training_ops.py), deterministic, and scale-safe: the
+        # bound is a hard row guard, anything bigger runs the unchanged
+        # distributed path. The returned labels are NOT checkpoint-backed
+        # on this path; release_checkpoint() on them is a documented no-op.
+        labels = _driver_components(edges, initial_labels, limit)
+        if labels is not None:
+            release_checkpoint(edges)
+            return labels
     if algorithm == "star":
         try:
             return _star_components(edges, max_iters)
@@ -851,9 +1009,105 @@ def dedup_clusters(df: DataFrame, id_col: str = "doc_id",
     return out
 
 
+# Hard bound on the NEW-PAIR count under which update_clusters runs its
+# driver fast path. Deliberately tighter than DRIVER_CC_MAX_EDGES: the
+# fast path embeds the touched-id / affected-comp sets as isin() literal
+# lists in the two cluster-table scans, and list size is a plan-size
+# cost, not just a driver-memory one. A daily batch producing more pairs
+# than this is exactly the regime where the distributed path's fixed job
+# cost is already amortized.
+UPDATE_DRIVER_MAX_PAIRS = 20_000
+
+
+def _driver_update_clusters(clusters: DataFrame, new_pairs: DataFrame,
+                            limit: int) -> DataFrame | None:
+    """Driver fast path for :func:`update_clusters` (round 9): when the
+    new batch's pair set is small (the daily steady state — and the
+    entire point of the incremental design), the touched subgraph is
+    resolved with bounded collects and exact local union-find instead of
+    a seeded distributed label propagation whose every round is a full
+    job on a tiny graph.
+
+    Jobs: (1) bounded collect of the new pairs, (2) one narrow
+    cluster-table scan collecting the touched rows' comps, (3) one narrow
+    scan collecting the affected clusters' members, (4) the assemble scan
+    that overlays the relabeling. Every collect is capped; any overflow
+    returns None and the caller falls back to the distributed path, which
+    is what keeps this 100 TB-safe. Seeding is provably redundant here:
+    every affected cluster's comp is itself a collected member, so the
+    union-find minimum over (star edges ∪ new pairs) equals the seeded
+    label-propagation fixpoint."""
+    spark = clusters.sparkSession
+    pair_rows = new_pairs.select("id_a", "id_b").limit(limit + 1).collect()
+    if len(pair_rows) > limit:
+        return None
+    pairs_local = [(r["id_a"], r["id_b"]) for r in pair_rows]
+    out_schema = clusters.select("id", "comp", "keep").schema
+    if not pairs_local:
+        # empty batch: the update is the identity (same as the distributed
+        # path: no touched comps, empty subgraph, all rows pass through)
+        out = clusters.select("id", "comp", "keep").persist()
+        out.count()
+        return out
+    touched = sorted({v for p in pairs_local for v in p})
+    comp_rows = (clusters.where(F.col("id").isin(touched))
+                 .select("comp").collect())  # ≤ len(touched) rows
+    comps = sorted({r["comp"] for r in comp_rows})
+    aff_rows = []
+    if comps:
+        aff_rows = (clusters.where(F.col("comp").isin(comps))
+                    .select("id", "comp").limit(3 * limit + 1).collect())
+        if len(aff_rows) > 3 * limit:
+            return None  # pathologically large touched clusters — fall back
+    # local union-find over star edges ∪ new pairs (exact min labeling)
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    star_edges = [(r["comp"], r["id"]) for r in aff_rows
+                  if r["id"] != r["comp"]]
+    for a, b in star_edges + pairs_local:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    comp_min: dict = {}
+    for node in parent:
+        r = find(node)
+        m = comp_min.get(r)
+        if m is None or node < m:
+            comp_min[r] = node
+    labels = {node: comp_min[find(node)] for node in parent}
+    aff_ids = {r["id"] for r in aff_rows}
+    # label rows absent from the cluster table are exactly the new docs
+    new_rows = [(i, c, i == c) for i, c in sorted(labels.items())
+                if i not in aff_ids]
+    from pyspark.sql import types as T
+    label_df = spark.createDataFrame(
+        [(i, c) for i, c in sorted(labels.items())],
+        schema=T.StructType([out_schema[0], out_schema[1]]))
+    relabeled = (clusters.join(
+        F.broadcast(label_df.withColumnsRenamed({"comp": "__new"})),
+        "id", "left")
+        .select("id", F.coalesce("__new", F.col("comp")).alias("comp"),
+                F.when(F.col("__new").isNotNull(),
+                       F.col("id") == F.col("__new"))
+                .otherwise(F.col("keep")).alias("keep")))
+    new_df = spark.createDataFrame(new_rows, schema=out_schema)
+    out = relabeled.union(new_df).persist()
+    out.count()
+    return out
+
+
 def update_clusters(clusters: DataFrame, new_pairs: DataFrame,
                     max_iters: int = 25,
-                    algorithm: str = "auto") -> DataFrame:
+                    algorithm: str = "auto",
+                    driver_max_pairs: int | None = None) -> DataFrame:
     """Incrementally fold a NEW batch's near-dup pairs into a persisted
     cluster table — the clustering leg of the daily pipeline, costing
     O(new pairs + touched clusters), never O(corpus).
@@ -878,13 +1132,28 @@ def update_clusters(clusters: DataFrame, new_pairs: DataFrame,
 
     Returns a persisted (id, comp, keep) table (caller owns
     ``unpersist()``); inputs are not modified — write the result over the
-    stored table to complete the daily cycle."""
+    stored table to complete the daily cycle.
+
+    ``driver_max_pairs`` (round 9): under this new-pair bound the touched
+    subgraph is resolved driver-side (:func:`_driver_update_clusters` —
+    bounded collects, exact local union-find, one assemble scan) instead
+    of the seeded distributed propagation, whose per-round jobs are pure
+    fixed cost on a small update. ``None`` →
+    :data:`UPDATE_DRIVER_MAX_PAIRS`; ``0`` disables the fast path. Any
+    bound overflow falls back to the distributed path below."""
+    limit = (UPDATE_DRIVER_MAX_PAIRS if driver_max_pairs is None
+             else int(driver_max_pairs))
+    if limit > 0:
+        out = _driver_update_clusters(clusters, new_pairs, limit)
+        if out is not None:
+            return out
     # the small sides are explicitly broadcast: ``clusters`` is
-    # corpus-sized at scale while touched ids / affected comps are
-    # O(new batch), so every join below must scan the cluster table
-    # NARROWLY (zero exchanges of the big table) — this is also what
-    # cuts the small-update fixed cost (measured 12.5 s → see round-8
-    # note: the un-hinted joins shuffled the cluster table per phase)
+    # corpus-sized at scale while touched ids / affected comps / relabeled
+    # subgraph labels are O(new batch), so every join below must scan the
+    # cluster table NARROWLY (zero exchanges of the big table) — this is
+    # also what cuts the small-update fixed cost (measured 12.5 s → see
+    # round-8 note: the un-hinted joins shuffled the cluster table per
+    # phase)
     touched_ids = (new_pairs.select(F.col("id_a").alias("id"))
                    .union(new_pairs.select(F.col("id_b").alias("id")))
                    .distinct())
@@ -904,13 +1173,27 @@ def update_clusters(clusters: DataFrame, new_pairs: DataFrame,
     labels = connected_components(
         star_edges.union(new_pairs.select("id_a", "id_b")), max_iters,
         algorithm, initial_labels=affected.select("id", "comp"))
-    untouched = clusters.join(F.broadcast(affected_comps), "comp",
-                              "left_anti")
-    out = (untouched.select("id", "comp", "keep")
-           .union(labels.select(
-               "id", "comp",
-               (F.col("id") == F.col("comp")).alias("keep")))
-           .persist())
+    # ONE scan of the cluster table assembles the result (round 9 — the
+    # old semi/anti pair scanned and broadcast-probed it twice): every
+    # affected id provably has a label row (multi-member clusters expose
+    # all members through star edges; a touched singleton IS a new-pair
+    # endpoint), so a broadcast left join overlays the new labels and
+    # untouched rows coalesce through unchanged. Label rows absent from
+    # the cluster table are exactly the new batch's docs — a small×small
+    # broadcast anti-join against the (persisted, O(touched)) affected
+    # set, never against the corpus-sized table.
+    relabeled = (clusters.join(
+        F.broadcast(labels.withColumnsRenamed({"comp": "__new"})),
+        "id", "left")
+        .select("id", F.coalesce("__new", F.col("comp")).alias("comp"),
+                F.when(F.col("__new").isNotNull(),
+                       F.col("id") == F.col("__new"))
+                .otherwise(F.col("keep")).alias("keep")))
+    new_rows = (labels.join(F.broadcast(affected.select("id")),
+                            "id", "left_anti")
+                .select("id", "comp",
+                        (F.col("id") == F.col("comp")).alias("keep")))
+    out = relabeled.union(new_rows).persist()
     out.count()
     release_checkpoint(labels)
     affected.unpersist()
@@ -1354,9 +1637,35 @@ def incremental_minhash_dedup(
         raise ValueError(
             "update_store is not supported with store_table; append via "
             "write_signature_store(mode='append', bucket_by=..., table=...)")
-    new_entries = signature_band_entries(
-        new_docs, id_col, text_col, n, num_hashes, bands, rows, seed,
-        use_pandas_sig).persist()
+    if use_sig_store and _store_bytes(spark, sig_store_path(store_dir)) is None:
+        log.warning(
+            "incremental_minhash_dedup: use_sig_store=True but %s does not "
+            "exist (store written without keep_sigs?) — skipping the "
+            "estimate screen", sig_store_path(store_dir))
+        use_sig_store = False
+    if use_sig_store:
+        # ONE batch signature pass serves both the band entries and the
+        # estimate screen (round 9 — the screen used to re-run the whole
+        # batch kernel): the persisted (id, sig) frame is a plan barrier,
+        # so the static _band_entries form is safe on the HOF path too
+        bsigs = (minhash_signatures_pandas(
+                     new_docs, id_col, text_col, n, num_hashes, seed=seed)
+                 if use_pandas_sig else
+                 new_docs.select(F.col(id_col).alias("id"),
+                                 minhash_signature(F.col(text_col), n,
+                                                   num_hashes, seed=seed)
+                                 .alias("sig"))).persist()
+        new_entries = (bsigs.select(
+            "id", F.explode(_band_entries(F.col("sig"), bands, rows))
+            .alias("b"))
+            .select(F.col("b.band").alias("band"),
+                    F.col("b.key").alias("key"), "id")
+            .persist())
+    else:
+        bsigs = None
+        new_entries = signature_band_entries(
+            new_docs, id_col, text_col, n, num_hashes, bands, rows, seed,
+            use_pandas_sig).persist()
 
     if store_table is not None:
         # store_df may be a FILTERED view of the bucketed table (the
@@ -1398,21 +1707,21 @@ def incremental_minhash_dedup(
         "y -> struct(x as id_a, y as id_b))))")).alias("p"))
         .select("p.id_a", "p.id_b"))
 
+    # candidates stay LAZY until the screen barrier below (round 9): the
+    # old separate count() was a full extra probe job purely to release
+    # the entry cache a step earlier
     cands = cross.union(within).distinct().persist()
-    cands.count()  # materialize candidates, then free the probe entries
-    if use_sig_store and _store_bytes(spark, sig_store_path(store_dir)) is None:
-        log.warning(
-            "incremental_minhash_dedup: use_sig_store=True but %s does not "
-            "exist (store written without keep_sigs?) — skipping the "
-            "estimate screen", sig_store_path(store_dir))
-        use_sig_store = False
+    if not use_sig_store:
+        cands.count()  # sole barrier on the unscreened path
     if use_sig_store:
         # estimate screen (the minhash_lsh_dedup design applied to the
         # incremental probe): corpus signatures come from the store's
         # (id, sig) companion table (write_signature_store(keep_sigs=True),
         # read from sig_store_path(store_dir)) — the corpus is STILL never
-        # re-signatured — and the batch re-runs its own (batch-sized)
-        # kernel; candidates whose estimated J sits prefilter_margin
+        # re-signatured — and the batch side reuses the SAME persisted
+        # signature frame the band entries were built from (round 9: the
+        # screen used to re-run the batch kernel a second time);
+        # candidates whose estimated J sits prefilter_margin
         # (~8σ at num_hashes=128) under the threshold never ship gram
         # arrays. LEFT joins + null-keep: a candidate with no stored sig
         # (e.g. a store appended without keep_sigs) is passed through to
@@ -1420,15 +1729,8 @@ def incremental_minhash_dedup(
         # performance matter, not a correctness one.
         cutoff = max(0.0, threshold - _screen_margin(
             prefilter_margin, threshold, num_hashes))
-        batch_sigs = minhash_signatures_pandas(
-            new_docs, id_col, text_col, n, num_hashes, seed=seed) \
-            if use_pandas_sig else \
-            new_docs.select(F.col(id_col).alias("id"),
-                            minhash_signature(F.col(text_col), n,
-                                              num_hashes, seed=seed)
-                            .alias("sig"))
         all_sigs = (spark.read.parquet(sig_store_path(store_dir))
-                    .select("id", "sig").unionByName(batch_sigs)
+                    .select("id", "sig").unionByName(bsigs)
                     .persist())
         est = F.size(F.filter(
             F.zip_with("__sa", "__sb", lambda a, b: a == b),
@@ -1451,8 +1753,11 @@ def incremental_minhash_dedup(
                     # re-sited in round 8 for scale)
                     .distinct()
                     .persist())
+        # the ONE probe barrier: materializes entries → candidates →
+        # screen in a single job, then releases everything upstream
         screened.count()
         all_sigs.unpersist()
+        bsigs.unpersist()
         cands.unpersist()
         cands = screened
     all_docs = (corpus_docs.select(F.col(id_col), F.col(text_col))

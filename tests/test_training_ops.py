@@ -672,10 +672,13 @@ def test_connected_components_long_chain_converges(spark):
     got = {r.id: r.comp for r in dedup.connected_components(pairs).collect()}
     assert got == {i: 0 for i in range(n + 1)}
     # the strict single-algorithm contract still raises rather than
-    # returning a half-converged labeling
+    # returning a half-converged labeling (driver_max_edges=0 pins the
+    # DISTRIBUTED loop — the round-9 fast path would otherwise return the
+    # exact answer without iterating)
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup.connected_components(pairs, max_iters=2,
-                                   algorithm="label_prop")
+                                   algorithm="label_prop",
+                                   driver_max_edges=0)
 
 
 def test_connected_components_releases_round_checkpoints(spark):
@@ -687,7 +690,9 @@ def test_connected_components_releases_round_checkpoints(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(10)], "id_a long, id_b long")
     before = jsc.getPersistentRDDs().size()
-    labels = dedup.connected_components(pairs)   # ≥ 10 rounds on a chain
+    # driver_max_edges=0 pins the DISTRIBUTED round loop (the subject of
+    # this test); the round-9 fast path creates no checkpoints at all
+    labels = dedup.connected_components(pairs, driver_max_edges=0)
     assert jsc.getPersistentRDDs().size() <= before + 1
     assert labels.count() == 11
     dedup.release_checkpoint(labels)
@@ -695,7 +700,14 @@ def test_connected_components_releases_round_checkpoints(spark):
     # the convergence-failure path must not strand its rounds either
     with pytest.raises(RuntimeError):
         dedup.connected_components(pairs, max_iters=2,
-                                   algorithm="label_prop")
+                                   algorithm="label_prop",
+                                   driver_max_edges=0)
+    assert jsc.getPersistentRDDs().size() <= before
+    # the fast path itself must strand nothing (its labels are not
+    # checkpoint-backed; release_checkpoint on them is a no-op)
+    fast = dedup.connected_components(pairs)
+    assert fast.count() == 11
+    dedup.release_checkpoint(fast)
     assert jsc.getPersistentRDDs().size() <= before
 
 
@@ -732,10 +744,17 @@ def test_star_components_matches_label_prop_on_random_graphs(spark):
         raw = {(rng.randrange(n), rng.randrange(n)) for _ in range(45)}
         edges = [(a, b) for a, b in raw if a != b]
         pairs = spark.createDataFrame(edges, "id_a long, id_b long")
-        lp = dedup.connected_components(pairs, algorithm="label_prop")
-        st = dedup.connected_components(pairs, algorithm="star")
-        assert ({r.id: r.comp for r in st.collect()}
-                == {r.id: r.comp for r in lp.collect()}), trial
+        # driver_max_edges=0 forces the DISTRIBUTED algorithms; the default
+        # call exercises the round-9 driver union-find fast path — all
+        # three must agree exactly on every graph shape
+        lp = dedup.connected_components(pairs, algorithm="label_prop",
+                                        driver_max_edges=0)
+        st = dedup.connected_components(pairs, algorithm="star",
+                                        driver_max_edges=0)
+        uf = dedup.connected_components(pairs)
+        expected = {r.id: r.comp for r in lp.collect()}
+        assert {r.id: r.comp for r in st.collect()} == expected, trial
+        assert {r.id: r.comp for r in uf.collect()} == expected, trial
         dedup.release_checkpoint(lp)
         dedup.release_checkpoint(st)
 
@@ -748,7 +767,8 @@ def test_star_handles_adversarial_chain_in_log_rounds(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n)], "id_a long, id_b long")
     labels = dedup.connected_components(pairs, max_iters=15,
-                                        algorithm="star")
+                                        algorithm="star",
+                                        driver_max_edges=0)
     got = {r.id: r.comp for r in labels.collect()}
     assert got == {i: 0 for i in range(n + 1)}
     dedup.release_checkpoint(labels)
@@ -761,10 +781,63 @@ def test_auto_falls_back_to_star_instead_of_raising(spark):
     n = 40
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n)], "id_a long, id_b long")
-    labels = dedup.connected_components(pairs, max_iters=3)
+    labels = dedup.connected_components(pairs, max_iters=3,
+                                        driver_max_edges=0)
     got = {r.id: r.comp for r in labels.collect()}
     assert got == {i: 0 for i in range(n + 1)}
     dedup.release_checkpoint(labels)
+
+
+def test_driver_fastpath_bound_is_a_hard_guard(spark):
+    """Above ``driver_max_edges`` the distributed path must run (its labels
+    are checkpoint-backed — detectable via the persistent-RDD count);
+    below it the driver union-find runs and registers nothing."""
+    jsc = spark.sparkContext._jsc.sc()
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "id_a long, id_b long")
+    before = jsc.getPersistentRDDs().size()
+    slow = dedup.connected_components(pairs, driver_max_edges=3)
+    assert {r.id: r.comp for r in slow.collect()} == {i: 0 for i in range(11)}
+    assert jsc.getPersistentRDDs().size() == before + 1  # checkpoint-backed
+    dedup.release_checkpoint(slow)
+    fast = dedup.connected_components(pairs, driver_max_edges=1_000)
+    assert {r.id: r.comp for r in fast.collect()} == {i: 0 for i in range(11)}
+    assert jsc.getPersistentRDDs().size() <= before
+
+
+def test_driver_fastpath_seed_overflow_falls_back(spark):
+    """A seeding table bigger than the fast path's bounded collect must
+    trigger the distributed fallback, not a truncated (wrong) seeding."""
+    pairs = spark.createDataFrame([(5, 6)], "id_a long, id_b long")
+    # limit=2 admits the 2 directed edges; the seed cap is 2*2+2=6 fetched
+    # rows, so 10 seed rows overflow it and force the fallback
+    seeds = spark.createDataFrame(
+        [(i, i) for i in range(20, 28)] + [(5, 2), (6, 6)],
+        "id long, comp long")
+    labels = dedup.connected_components(
+        pairs, algorithm="label_prop", initial_labels=seeds,
+        driver_max_edges=2)
+    got = {(r.id, r.comp) for r in labels.collect()}
+    dedup.release_checkpoint(labels)
+    assert got == {(5, 2), (6, 2)}
+
+
+def test_driver_fastpath_seeded_matches_distributed(spark):
+    """Seeded labeling (the update_clusters shape) must be identical on
+    the fast path and the distributed loop, including seeds below the
+    subgraph minimum and phantom/above-id seeds that the clamp removes."""
+    pairs = spark.createDataFrame(
+        [(7, 9), (9, 11), (20, 21)], "id_a long, id_b long")
+    seeds = spark.createDataFrame(
+        [(7, 3), (9, 3), (11, 11), (20, 99)], "id long, comp long")
+    fast = dedup.connected_components(pairs, initial_labels=seeds)
+    slow = dedup.connected_components(pairs, algorithm="label_prop",
+                                      initial_labels=seeds,
+                                      driver_max_edges=0)
+    assert ({r.id: r.comp for r in fast.collect()}
+            == {r.id: r.comp for r in slow.collect()}
+            == {7: 3, 9: 3, 11: 3, 20: 20, 21: 20})
+    dedup.release_checkpoint(slow)
 
 
 def test_update_clusters_matches_from_scratch(spark):
@@ -804,6 +877,12 @@ def test_update_clusters_matches_from_scratch(spark):
     # untouched cluster {8,9} passed through; new-only pair clustered
     assert (8, 8, True) in got and (9, 8, False) in got
     assert (30, 30, True) in got and (31, 30, False) in got
+    # the round-9 driver fast path (default) and the distributed path
+    # must agree row-for-row; driver_max_pairs=1 additionally pins the
+    # bounded-collect overflow detection (3 pairs > 1 → fallback)
+    dist = dedup.update_clusters(old, new_pairs, driver_max_pairs=1)
+    assert {(r.id, r.comp, r.keep) for r in dist.collect()} == want
+    dist.unpersist()
     new_pairs.unpersist()
     for d in (old, updated, scratch):
         d.unpersist()
