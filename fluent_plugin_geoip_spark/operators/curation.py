@@ -194,8 +194,13 @@ def stratified_sample(df: DataFrame, fractions: dict[str, float],
         entries = []
         for stratum, frac in fractions.items():
             entries += [F.lit(stratum), F.lit(float(frac))]
+        # try_element_at, not element_at: under spark.sql.ansi.enabled a
+        # plain element_at THROWS on a stratum absent from the map,
+        # whereas the contract (and the pre-map when/otherwise chain) is
+        # null → default_fraction (round-8 ADVICE; the repo pins ANSI
+        # compatibility elsewhere, e.g. the ipv6 parse)
         rate = F.coalesce(
-            F.element_at(F.create_map(*entries), F.col(strata_col)),
+            F.try_element_at(F.create_map(*entries), F.col(strata_col)),
             F.lit(float(default_fraction)))
     else:
         rate = F.lit(float(default_fraction))

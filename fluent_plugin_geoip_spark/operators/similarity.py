@@ -306,7 +306,7 @@ def embedding_near_dupes(df: DataFrame, threshold: float = 0.95,
     sigs = _table_bucket_entries(base, "id", planes_list,
                                  use_pandas=use_pandas_sig)
     grouped = (sigs.groupBy("t", "bucket")
-               .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+               .agg(F.collect_list("id").alias("ids"))
                .withColumn("bucket_size", F.size("ids"))
                .filter(F.col("bucket_size") > 1))
     dropped = None
@@ -329,12 +329,17 @@ def embedding_near_dupes(df: DataFrame, threshold: float = 0.95,
                 "(> %d ids) — pairs inside them are NOT emitted",
                 dropped, max_bucket)
         grouped = cached_buckets.filter(F.col("bucket_size") <= max_bucket)
+    # pair expansion as a codegen'd double explode + strict a<b filter
+    # (round 9 — see dedup.lsh_candidate_pairs: the interpreted
+    # flatten(transform(slice...)) form serialized a mega bucket's whole
+    # quadratic expansion into one task's lambda interpreter); bucket ids
+    # are unique per (t, bucket), so orientation falls out of the filter
+    # and the bucket sort is gone
     pairs = (grouped
-             .select(F.explode(F.expr(
-                 "flatten(transform(ids, (x, i) -> "
-                 "transform(slice(ids, i + 2, size(ids)), "
-                 "y -> struct(x as id_a, y as id_b))))")).alias("p"))
-             .select("p.id_a", "p.id_b")
+             .select(F.explode("ids").alias("a"), F.col("ids"))
+             .select("a", F.explode("ids").alias("b"))
+             .filter(F.col("a") < F.col("b"))
+             .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
              .distinct())
     cand = (pairs
             .join(base.select(F.col("id").alias("id_a"),

@@ -76,15 +76,34 @@ def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
-def _detached(out: DataFrame, *order_cols: str) -> DataFrame:
+# session-scoped root for _detached round-trips, removed at interpreter
+# exit (round-8 ADVICE: a fresh mkdtemp per invocation leaked one parquet
+# copy of each result per bench/driver rep, unboundedly across a session)
+_DETACH_ROOT: list[str] = []
+
+
+def _detach_dir(tag: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+    if not _DETACH_ROOT:
+        root = tempfile.mkdtemp(prefix="geoip_q_out_")
+        _DETACH_ROOT.append(root)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return os.path.join(_DETACH_ROOT[0], tag)
+
+
+def _detached(out: DataFrame, *order_cols: str, tag: str = "q") -> DataFrame:
     """Decouple a result from its upstream caches/checkpoints WITHOUT a
     driver collect (round-7 VERDICT item 6: these are whole label tables
     — driver-sized today, wrong shape at 100×): temp-parquet round-trip,
     after which the operator caches can be released before returning.
     The read-back re-applies the presentation ordering (a parquet scan
-    does not preserve it)."""
-    import tempfile
-    path = tempfile.mkdtemp(prefix="geoip_q_out_")
+    does not preserve it). Each query overwrites ITS OWN stable path
+    under one session root (results are consumed before the next
+    invocation), so repeated bench/driver reps reuse the same disk
+    footprint instead of accreting a copy per call."""
+    path = _detach_dir(tag)
     out.write.mode("overwrite").parquet(path)
     res = out.sparkSession.read.parquet(path)
     return res.orderBy(*order_cols) if order_cols else res
@@ -690,7 +709,7 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # detach the survivor list so the verified-pairs cache and the
     # checkpoint-backed labels are released PER INVOCATION — repeated
     # bench/driver runs in one session must not accumulate cached blocks
-    res = _detached(out, "doc_id")
+    res = _detached(out, "doc_id", tag="corpus_curation")
     release_checkpoint(comps)
     pairs.unpersist()
     return res
@@ -972,7 +991,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.col("comp").alias("component"))
            .orderBy("doc_id"))
     # detach + release per invocation (see q_corpus_curation)
-    res = _detached(out, "doc_id")
+    res = _detached(out, "doc_id", tag="dedup_components")
     release_checkpoint(comps)
     pairs.unpersist()
     return res
@@ -997,7 +1016,7 @@ def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select(F.col("id").alias("doc_id"),
                    F.col("comp").alias("component"))
            .orderBy("doc_id"))
-    res = _detached(out, "doc_id")
+    res = _detached(out, "doc_id", tag="dedup_components_star")
     release_checkpoint(comps)
     pairs.unpersist()
     return res
@@ -1103,7 +1122,7 @@ def q_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.col("comp").alias("component"))
            .orderBy("doc_id"))
     # detach + release per invocation (see q_corpus_curation)
-    res = _detached(out, "doc_id")
+    res = _detached(out, "doc_id", tag="incremental_clusters")
     updated.unpersist()
     pairs.unpersist()
     return res

@@ -355,3 +355,13 @@ def test_stratified_sample_rates_and_default(spark):
     assert by_lang.get("en") == 1000
     assert "de" not in by_lang
     assert 350 < by_lang.get("xx", 0) < 650
+    # under ANSI mode a missing map key must fall through to the default,
+    # not raise MAP_KEY_DOES_NOT_EXIST (round-8 ADVICE: try_element_at)
+    from fluent_plugin_geoip_spark.confutil import scoped_conf
+    with scoped_conf(spark, "spark.sql.ansi.enabled", "true"):
+        got_ansi = {r.lang: r.n for r in
+                    curation.stratified_sample(
+                        df, {"en": 1.0, "de": 0.0}, "lang", "k",
+                        default_fraction=0.5)
+                    .groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert got_ansi == by_lang
