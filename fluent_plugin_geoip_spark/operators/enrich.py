@@ -243,7 +243,16 @@ class GeoipEnricher:
 
         ip4 = F.col(ip_name)
         if has6:
-            # parse once, reuse for the mapped-fold and the v6 probe
+            # parse once, reuse for the mapped-fold and the v6 probe.
+            # Round 9 note: a staged multi-projection (pure-codegen) parse
+            # was built, measured and REVERTED — it is 1.7x faster in
+            # isolation, but fused into this stage (v4 parse + two
+            # broadcast joins + merge) it pushed the whole-stage method
+            # to ~11.4 KB of bytecode, past HotSpot's 8 KB JIT ceiling,
+            # and the un-JIT-compiled stage ran ~3x slower end to end.
+            # The _let expression form keeps the fused method at ~2 KB
+            # precisely because HOF lambdas evaluate as CodegenFallback
+            # outside it (A/B + method sizes in docs/v6_parse_r9.jsonl).
             p6_name, e4_name = f"__ip6_{i}", f"__ip4e_{i}"
             df = df.withColumn(
                 p6_name,

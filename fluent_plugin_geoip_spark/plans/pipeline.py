@@ -65,7 +65,8 @@ class GeoipPipeline:
                  skip_adding_null_record: bool = False,
                  asn_database: GeoDatabase | None = None,
                  enable_asn: bool = False,
-                 enrich_strategy: str = "auto"):
+                 enrich_strategy: str = "auto",
+                 v6_text_fraction: float | None = None):
         # enrich_strategy: "auto" (default) → "jvm_join" (broadcast
         # prefix-bucket join; zero Python workers — measured 1.75× the
         # Arrow kernel on the compute leg, round 7) for EVERY database:
@@ -75,6 +76,20 @@ class GeoipPipeline:
         # (pandas-UDF searchsorted) stays available explicitly. Both are
         # pinned equal by the reference differential and a shared oracle
         # query.
+        #
+        # v6_text_fraction (round 9, the round-8 VERDICT item-1 hint):
+        # the caller's estimate of how much of the address TEXT is
+        # v6-shaped. The jvm kernel's Catalyst ipv6 parse is interpreted
+        # (CodegenFallback — a pure-codegen parse blows the fused stage
+        # past the JVM's JIT method ceiling, docs/v6_parse_r9.jsonl), so
+        # its cost grows with the v6 fraction (interleaved A/B,
+        # docs/v6_auto_r9.jsonl: 0.64 s at 0/6 v6 → 1.06 s at 5/6 on the
+        # same rows, while the dual-Arrow kernel stays flat at ~0.13 s).
+        # On a v6-capable database, "auto" therefore picks the Arrow
+        # kernel when the hint says the text is v6-majority; with no
+        # hint it stays on the zero-Python jvm kernel (the v4-dominant
+        # flagship default, where jvm wins and the Python-worker memory
+        # ceiling is the scale risk).
         self.spark = spark
         self.db = database or world_db()
         cfg = GeoipConfig(
@@ -85,6 +100,9 @@ class GeoipPipeline:
 
         def resolve(db: GeoDatabase) -> str:
             if enrich_strategy == "auto":
+                if (db.has_ipv6 and v6_text_fraction is not None
+                        and float(v6_text_fraction) >= 0.5):
+                    return "arrow"
                 return "jvm_join"
             return enrich_strategy
 

@@ -503,3 +503,26 @@ def test_compact_sinks_verifies_manifest_rows(spark, tmp_path):
         .write.mode("append").partitionBy("route_country").parquet(out)
     with pytest.raises(IOError, match="disagrees with its lineage"):
         compact_sinks(spark, out)
+
+
+def test_auto_strategy_respects_v6_fraction_hint(spark):
+    """Round-9 adaptive auto (round-8 VERDICT item 1): on a v6-capable
+    database, a v6-majority text hint flips the enrich kernel to the
+    dual-Arrow path (where it wins — docs/v6_auto_r9.jsonl); no hint, a
+    sub-majority hint, or a v4-only database stay on the zero-Python
+    jvm kernel."""
+    from fluent_plugin_geoip_spark.operators.geolookup import GeoDatabase
+    v6db = GeoDatabase.from_mmdb(os.path.join(
+        os.path.dirname(__file__), "fixtures", "geolite2-city-v6-test.mmdb"))
+    assert v6db.has_ipv6
+    assert GeoipPipeline(spark, database=v6db,
+                         v6_text_fraction=0.9).enricher.strategy == "arrow"
+    assert GeoipPipeline(spark, database=v6db,
+                         v6_text_fraction=0.2).enricher.strategy == "jvm_join"
+    assert GeoipPipeline(spark, database=v6db).enricher.strategy == "jvm_join"
+    # v4-only database: the hint is irrelevant, jvm_join stands
+    assert GeoipPipeline(spark,
+                         v6_text_fraction=0.9).enricher.strategy == "jvm_join"
+    # explicit strategies are never overridden by the hint
+    assert GeoipPipeline(spark, database=v6db, enrich_strategy="jvm_join",
+                         v6_text_fraction=0.9).enricher.strategy == "jvm_join"
