@@ -232,8 +232,26 @@ def minhash_signatures_pandas(df: DataFrame, id_col: str = "doc_id",
     return src.mapInPandas(run, schema)
 
 
-def _band_entries(sig: Column, bands: int, rows: int) -> Column:
-    """array<struct<band:int, key:long>> — one hashed key per band."""
+def _band_entries(sig: Column | str, bands: int, rows: int) -> Column:
+    """array<struct<band:int, key:long>> — one hashed key per band.
+
+    Pass ``sig`` as a COLUMN NAME (str) on hot paths: the expression is
+    then assembled as one SQL string and parsed JVM-side in a single py4j
+    call. The Column overload builds the identical tree through the
+    DataFrame API — ~bands × (rows + 3) py4j roundtrips, measured 0.55 s
+    of pure plan-construction per invocation at bands=32 on the bench box
+    (round 9, guide §1: the roundtrips were a fifth of the whole
+    dedup_minhash_lsh wall). Both forms produce byte-identical keys
+    (pinned by ``test_band_entries_hof_matches_static``)."""
+    if isinstance(sig, str):
+        col = f"`{sig}`"
+        entries = ", ".join(
+            "named_struct('band', {b}, 'key', xxhash64(concat_ws(',', {e})))"
+            .format(b=bi, e=", ".join(
+                f"cast(element_at({col}, {bi * rows + ri + 1}) as string)"
+                for ri in range(rows)))
+            for bi in range(bands))
+        return F.expr(f"array({entries})")
     return F.array(*[
         F.struct(
             F.lit(bi).alias("band"),
@@ -282,7 +300,7 @@ def lsh_candidate_pairs(df: DataFrame, sig_col: str, id_col: str = "id",
     sigs = df.select(F.col(id_col).alias("id"), F.col(sig_col).alias("__sig")) \
              .persist()
     exploded = (sigs.select("id",
-                            F.explode(_band_entries(F.col("__sig"), bands, rows))
+                            F.explode(_band_entries("__sig", bands, rows))
                             .alias("b"))
                 .select("id", F.col("b.band").alias("band"),
                         F.col("b.key").alias("key")))
@@ -326,6 +344,21 @@ def lsh_candidate_pairs(df: DataFrame, sig_col: str, id_col: str = "id",
                     "(> %d ids)", n_dropped, max_bucket)
     sigs.unpersist()
     return pairs
+
+
+def _encode_sig(sig: Column, num_hashes: int) -> Column:
+    """Position-encode a minhash signature for the estimate screen:
+    element i becomes ``i * _P + sig[i]`` (distinct per position; max value
+    ``128 * 2^31 < 2^39``, no overflow). Two encoded arrays then yield the
+    positional-match count as ``size(array_intersect(ea, eb))`` — a
+    COMPILED primitive-array expression — instead of an interpreted
+    ``zip_with`` lambda per pair (round 9, guide §4.1: higher-order
+    functions evaluate interpreted, so a per-PAIR zip_with over
+    ``num_hashes`` components cost ~50 ns × |cands| × num_hashes; the
+    encode pays the interpreted HOF once per candidate DOC instead —
+    measured 0.74 → 0.43 s on the 360k-candidate sf0.1 screen)."""
+    idx = F.sequence(F.lit(0), F.lit(num_hashes - 1)).cast("array<long>")
+    return F.zip_with(sig, idx, lambda v, i: i * F.lit(_P) + v)
 
 
 def _screen_margin(margin: float | str, threshold: float,
@@ -410,9 +443,20 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str = "doc_id",
     if prefilter_margin is not None:
         cutoff = max(0.0, threshold - _screen_margin(
             prefilter_margin, threshold, num_hashes))
-        est = F.size(F.filter(
-            F.zip_with("__sa", "__sb", lambda a, b: a == b),
-            lambda x: x)) / F.lit(float(num_hashes))
+        # positional-match count via position-encoded signatures +
+        # compiled array_intersect (round 9, see _encode_sig) — the
+        # interpreted per-pair zip_with was the screen's dominant cost.
+        # The encode is a narrow projection on the sig table the screen
+        # joins ALREADY scan in full; its per-row cost (num_hashes
+        # interpreted HOF steps) is the same order as deserializing the
+        # signature array itself, so this adds no new pass and no new
+        # shuffle. (A semi-join to candidate-touching ids first was tried
+        # and REVERTED: the extra union+distinct+semi-join shuffles cost
+        # 2-7 s per query at bench scale — worse than the encode it saved.)
+        est = (F.size(F.array_intersect("__ea", "__eb"))
+               / F.lit(float(num_hashes)))
+        esigs = sigs.select("id", _encode_sig(F.col("sig"), num_hashes)
+                            .alias("esig"))
         # the screen stays LAZY (round 9): its former count() barrier was a
         # full extra job per invocation (~0.6 s fixed cost on the bench
         # box) purely to release caches early. The verifier's own
@@ -422,10 +466,10 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str = "doc_id",
         # released right after verification instead.
         raw_cands = cands
         cands = (cands
-                 .join(sigs.withColumnsRenamed(
-                     {"id": "id_a", "sig": "__sa"}), "id_a")
-                 .join(sigs.withColumnsRenamed(
-                     {"id": "id_b", "sig": "__sb"}), "id_b")
+                 .join(esigs.withColumnsRenamed(
+                     {"id": "id_a", "esig": "__ea"}), "id_a")
+                 .join(esigs.withColumnsRenamed(
+                     {"id": "id_b", "esig": "__eb"}), "id_b")
                  .filter(est >= cutoff)
                  .select("id_a", "id_b")
                  .persist())
@@ -1080,15 +1124,17 @@ def _driver_update_clusters(clusters: DataFrame, new_pairs: DataFrame,
         out.count()
         return out
     touched = sorted({v for p in pairs_local for v in p})
-    comp_rows = (clusters.where(F.col("id").isin(touched))
-                 .select("comp").collect())  # ≤ len(touched) rows
-    comps = sorted({r["comp"] for r in comp_rows})
-    aff_rows = []
-    if comps:
-        aff_rows = (clusters.where(F.col("comp").isin(comps))
-                    .select("id", "comp").limit(3 * limit + 1).collect())
-        if len(aff_rows) > 3 * limit:
-            return None  # pathologically large touched clusters — fall back
+    # ONE scan job resolves touched ids → affected comps → members: the
+    # two-phase form (collect comps, then collect members) was two
+    # sequential driver jobs at ~0.3 s fixed cost each on the bench box
+    # (round 9); the self-join keeps both lookups in a single job — the
+    # comp side is the tiny touched-row set, explicitly broadcast.
+    touched_comps = (clusters.where(F.col("id").isin(touched))
+                     .select("comp").distinct())
+    aff_rows = (clusters.join(F.broadcast(touched_comps), "comp")
+                .select("id", "comp").limit(3 * limit + 1).collect())
+    if len(aff_rows) > 3 * limit:
+        return None  # pathologically large touched clusters — fall back
     # local union-find over star edges ∪ new pairs (exact min labeling)
     parent: dict = {}
 
@@ -1341,7 +1387,7 @@ def signature_band_entries(df: DataFrame, id_col: str = "doc_id",
         # per-band form is fine (sig is a plain column here)
         sigs = minhash_signatures_pandas(df, id_col, text_col, n, num_hashes,
                                          seed=seed)
-        entries = _band_entries(F.col("sig"), bands, rows)
+        entries = _band_entries("sig", bands, rows)
     else:
         # HOF path: the single-reference band builder keeps CollapseProject
         # from inlining the minhash tree bands × rows times, so NO persist
@@ -1686,7 +1732,7 @@ def incremental_minhash_dedup(
                                                    num_hashes, seed=seed)
                                  .alias("sig"))).persist()
         new_entries = (bsigs.select(
-            "id", F.explode(_band_entries(F.col("sig"), bands, rows))
+            "id", F.explode(_band_entries("sig", bands, rows))
             .alias("b"))
             .select(F.col("b.band").alias("band"),
                     F.col("b.key").alias("key"), "id")
@@ -1760,18 +1806,26 @@ def incremental_minhash_dedup(
         # performance matter, not a correctness one.
         cutoff = max(0.0, threshold - _screen_margin(
             prefilter_margin, threshold, num_hashes))
+        # position-encoded signatures + compiled array_intersect (round 9,
+        # see _encode_sig): the encode is a narrow projection folded into
+        # the companion scan the screen joins already pay in full — no new
+        # pass, no new shuffle. (Pre-shrinking the companion with a
+        # semi-join on candidate ids was tried and REVERTED: ``cands`` is
+        # still lazy here, so the semi-join recomputed the whole probe
+        # inside each screen join — measured +7 s at bench scale.)
         all_sigs = (spark.read.parquet(sig_store_path(store_dir))
                     .select("id", "sig").unionByName(bsigs)
+                    .select("id", _encode_sig(F.col("sig"), num_hashes)
+                            .alias("esig"))
                     .persist())
-        est = F.size(F.filter(
-            F.zip_with("__sa", "__sb", lambda a, b: a == b),
-            lambda x: x)) / F.lit(float(num_hashes))
+        est = (F.size(F.array_intersect("__ea", "__eb"))
+               / F.lit(float(num_hashes)))
         screened = (cands
                     .join(all_sigs.withColumnsRenamed(
-                        {"id": "id_a", "sig": "__sa"}), "id_a", "left")
+                        {"id": "id_a", "esig": "__ea"}), "id_a", "left")
                     .join(all_sigs.withColumnsRenamed(
-                        {"id": "id_b", "sig": "__sb"}), "id_b", "left")
-                    .filter(F.col("__sa").isNull() | F.col("__sb").isNull()
+                        {"id": "id_b", "esig": "__eb"}), "id_b", "left")
+                    .filter(F.col("__ea").isNull() | F.col("__eb").isNull()
                             | (est >= cutoff))
                     .select("id_a", "id_b")
                     # distinct HERE, not a dropDuplicates on all_sigs:

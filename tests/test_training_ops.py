@@ -587,6 +587,13 @@ def test_band_entries_hof_matches_static(spark):
                    .alias("b")).select("id", "b.band", "b.key"))
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
     assert a.count() == 50 * 8
+    # round 9: the hot paths pass a column NAME so the whole band array is
+    # assembled as one SQL string (one py4j call); keys must stay
+    # bit-identical to the Column form — a drift would silently split the
+    # store/probe key space
+    c = (df.select("id", F.explode(dedup._band_entries("sig", 8, 4))
+                   .alias("b")).select("id", "b.band", "b.key"))
+    assert a.exceptAll(c).count() == 0 and c.exceptAll(a).count() == 0
 
 
 def test_hof_signature_path_leaves_no_cache(spark):
