@@ -704,11 +704,13 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.round(quality_score_raw(F.col("text")) * 1e6)
                    .cast("long").alias("quality_micros"))
            .filter(F.col("lang").isin("en", "de", "fr"))
-           .filter(F.col("quality_micros") >= 865000)
-           .orderBy("doc_id"))
+           .filter(F.col("quality_micros") >= 865000))
     # detach the survivor list so the verified-pairs cache and the
     # checkpoint-backed labels are released PER INVOCATION — repeated
-    # bench/driver runs in one session must not accumulate cached blocks
+    # bench/driver runs in one session must not accumulate cached blocks.
+    # The presentation orderBy is applied by _detached's read-back ONLY —
+    # sorting before the detach write paid a global range exchange per
+    # invocation for an ordering the parquet round-trip discards (round 9)
     res = _detached(out, "doc_id", tag="corpus_curation")
     release_checkpoint(comps)
     pairs.unpersist()
@@ -988,8 +990,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     comps = connected_components(pairs)
     out = (comps
            .select(F.col("id").alias("doc_id"),
-                   F.col("comp").alias("component"))
-           .orderBy("doc_id"))
+                   F.col("comp").alias("component")))
     # detach + release per invocation (see q_corpus_curation)
     res = _detached(out, "doc_id", tag="dedup_components")
     release_checkpoint(comps)
@@ -1014,8 +1015,7 @@ def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     comps = connected_components(pairs, algorithm="star")
     out = (comps
            .select(F.col("id").alias("doc_id"),
-                   F.col("comp").alias("component"))
-           .orderBy("doc_id"))
+                   F.col("comp").alias("component")))
     res = _detached(out, "doc_id", tag="dedup_components_star")
     release_checkpoint(comps)
     pairs.unpersist()
@@ -1119,8 +1119,7 @@ def q_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     updated = update_clusters(clusters, pairs.select("id_a", "id_b"))
     out = (updated
            .select(F.col("id").alias("doc_id"),
-                   F.col("comp").alias("component"))
-           .orderBy("doc_id"))
+                   F.col("comp").alias("component")))
     # detach + release per invocation (see q_corpus_curation)
     res = _detached(out, "doc_id", tag="incremental_clusters")
     updated.unpersist()

@@ -97,11 +97,20 @@ def test_compact_drops_double_append_duplicates(spark, tmp_path):
     _drop(spark, table)
 
 
-@pytest.mark.parametrize("crash", ["after_intent", "after_overwrite"])
+@pytest.mark.parametrize("crash", ["after_intent", "mid_swap",
+                                   "after_overwrite"])
 def test_compact_crash_then_resume(spark, tmp_path, crash):
+    """Every crash seam of the two-phase protocol must auto-resume —
+    including ``mid_swap`` (round-8 ADVICE): saveAsTable's internal
+    catalog drop-then-recreate means a crash inside the swap leaves the
+    MAIN table missing from the catalog entirely; resume must recover
+    the location via the stage table and the bucket spec via the intent
+    stash instead of DESCRIBE-ing the dropped table."""
     store, table = _mk_store(spark, tmp_path, f"t_cmp_{crash}", appends=1)
     rows_pre = spark.table(table).count()
     assert compact_bucketed_store(spark, table, _crash_point=crash) == {}
+    if crash == "mid_swap":
+        assert not spark.catalog.tableExists(table)  # the crash state
     # resume completes the swap from the staged copy
     res = compact_bucketed_store(spark, table)
     assert res["files_after"] == 4
@@ -110,6 +119,25 @@ def test_compact_crash_then_resume(spark, tmp_path, crash):
     meta = _bucket_table_meta(spark, table)
     assert _fs_read_text(f"{meta['location']}_compact_intent.json") is None
     assert not spark.catalog.tableExists(f"{table}__cstage")
+    _drop(spark, table)
+
+
+def test_compact_if_needed_recovers_mid_swap(spark, tmp_path):
+    """The streaming compact_every trigger DESCRIBEs the main table first;
+    with the table dropped mid-swap it must delegate to the resume path
+    instead of raising on every subsequent firing (round-8 ADVICE)."""
+    from fluent_plugin_geoip_spark.operators.dedup import (
+        compact_bucketed_store_if_needed,
+    )
+    store, table = _mk_store(spark, tmp_path, "t_cmp_midtrig", appends=1)
+    rows_pre = spark.table(table).count()
+    assert compact_bucketed_store(spark, table,
+                                  _crash_point="mid_swap") == {}
+    assert not spark.catalog.tableExists(table)
+    res = compact_bucketed_store_if_needed(
+        spark, table, max_files_per_bucket=100)
+    assert res is not None and res["files_after"] == 4
+    assert spark.table(table).count() == rows_pre
     _drop(spark, table)
 
 
@@ -137,6 +165,55 @@ def test_compact_sig_companion_dedups_ids(spark, tmp_path):
     res = compact_sig_companion(spark, store)
     assert spark.read.parquet(sig_dir).count() == 10
     assert res["files_after"] <= res["files_before"]
+    _drop(spark, table)
+
+
+@pytest.mark.parametrize("crash", ["after_intent", "after_overwrite"])
+def test_compact_sig_companion_crash_then_resume(spark, tmp_path, crash):
+    """The companion compaction now runs the same stage+intent protocol
+    as the band store (round-8 VERDICT item 6): any crash between the two
+    overwrites resumes from the complete stage instead of leaving a
+    half-committed companion until a manual keep_sigs rerun."""
+    store = str(tmp_path / "store")
+    table = write_signature_store(_corpus(spark, 0, 10), store, bands=16,
+                                  rows=8, bucket_by=4,
+                                  table=f"t_cmp_sig_{crash}",
+                                  keep_sigs=True)
+    sig_dir = sig_store_path(store)
+    spark.read.parquet(sig_dir).write.mode("append").parquet(sig_dir)
+    assert compact_sig_companion(spark, store, _crash_point=crash) == {}
+    assert _fs_read_text(f"{sig_dir}_compact_intent.json") is not None
+    res = compact_sig_companion(spark, store)
+    assert spark.read.parquet(sig_dir).count() == 10
+    assert _fs_read_text(f"{sig_dir}_compact_intent.json") is None
+    assert res["files_after"] >= 1
+    _drop(spark, table)
+
+
+def test_probe_screen_heals_partial_companion(spark, tmp_path):
+    """A companion missing some corpus ids (partial write, stale append)
+    must degrade gracefully: the screen's LEFT joins pass sig-less
+    candidates straight to the exact verifier, so no true pair is lost
+    (round-8 VERDICT item 6's auto-heal contract)."""
+    store = str(tmp_path / "store")
+    table = write_signature_store(_corpus(spark, 0, 10), store, bands=16,
+                                  rows=8, bucket_by=4,
+                                  table="t_cmp_partial", keep_sigs=True)
+    sig_dir = sig_store_path(store)
+    # simulate a partial companion: doc 3 (the true near-dup partner of
+    # the probe batch below) loses its sig row
+    kept = spark.read.parquet(sig_dir).filter(F.col("id") != 3)
+    kept.write.mode("overwrite").parquet(str(tmp_path / "sig_tmp"))
+    spark.read.parquet(str(tmp_path / "sig_tmp")) \
+        .write.mode("overwrite").parquet(sig_dir)
+    new = spark.createDataFrame(
+        [(100, "corpus document number 3 text " * 3)],
+        "doc_id long, text string")
+    out = incremental_minhash_dedup(new, _corpus(spark, 0, 30), store,
+                                    bands=16, rows=8, threshold=0.8,
+                                    exact_grams=True, store_table=table,
+                                    use_sig_store=True)
+    assert {(r.id_a, r.id_b) for r in out.collect()} == {(3, 100)}
     _drop(spark, table)
 
 
