@@ -26,3 +26,21 @@ def let_(value: Column, body) -> Column:
     ``body`` references it (including for null inputs: the bound slot
     holds null and every reference reads the same null)."""
     return F.element_at(F.transform(F.array(value), body), 1)
+
+
+def is_plan_independent(col: Column) -> bool:
+    """True iff ``col``'s tree contains no already-RESOLVED Catalyst
+    expression — i.e. it is built purely from unresolved attributes,
+    literals and functions, so the identical tree resolves correctly
+    against ANY plan with the referenced column names.
+
+    Guard for expression-tree memoization (round 9): a Column taken from
+    a DataFrame (``df.ip``) embeds a resolved ``AttributeReference`` with
+    a plan-specific exprId, while ``Column.toString()`` — the natural
+    memo key — prints it WITHOUT the exprId. Caching such a tree keyed on
+    its string re-binds the stale exprId into later plans and fails
+    analysis with MISSING_ATTRIBUTES (or, worse, silently reads the
+    wrong column in a self-join). Resolved leaves surface in the
+    ColumnNode tree as ``ExpressionColumnNode(...)`` wrappers, which a
+    purely-unresolved tree never contains."""
+    return "ExpressionColumnNode" not in col._jc.node().toString()

@@ -53,7 +53,11 @@ from .binding import let_ as _let  # noqa: E402
 # an immutable, plan-independent expression that can be referenced from
 # any number of queries. This caches PLAN CONSTRUCTION only — never data
 # or results. Keys are the handful of lookup-key expressions a config
-# uses; the dict is process-lived like the module itself.
+# uses; the dict is process-lived like the module itself. Only
+# plan-independent inputs are memoized (``binding.is_plan_independent``):
+# a DataFrame-resolved input embeds a plan-specific exprId that
+# ``toString()`` hides, so caching it would re-bind a stale attribute
+# into later plans (found by the hypothesis differential, round 9).
 _PARSE_CACHE: dict[str, Column] = {}
 
 
@@ -68,6 +72,9 @@ def ipv6_str_to_longs(col: Column) -> Column:
     Every staged intermediate (the dotted-quad fold, the '::' split, the
     group arrays, the parsed group values) is :func:`_let`-bound so it is
     computed exactly once per row."""
+    from .binding import is_plan_independent
+    if not is_plan_independent(col):
+        return _build_ipv6_parse(col)
     key = col._jc.toString()
     cached = _PARSE_CACHE.get(key)
     if cached is not None:

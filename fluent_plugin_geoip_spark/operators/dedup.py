@@ -550,11 +550,17 @@ def simhash(text: Column, bits: int = 64, portable: bool = False) -> Column:
     The constructed tree is memoized by (input expression, bits,
     portable) — ~500 py4j roundtrips (~0.25 s) of pure plan construction
     per invocation otherwise (round 9; plan construction only, never
-    data)."""
+    data). Only plan-independent inputs are memoized: a
+    DataFrame-resolved Column embeds an exprId its toString() hides, so
+    caching it would re-bind a stale attribute into later plans (see
+    functions.binding.is_plan_independent)."""
+    from ..functions.binding import is_plan_independent
+    memoizable = is_plan_independent(text)
     memo_key = (text._jc.toString(), bits, portable)
-    cached = _SIMHASH_CACHE.get(memo_key)
-    if cached is not None:
-        return cached
+    if memoizable:
+        cached = _SIMHASH_CACHE.get(memo_key)
+        if cached is not None:
+            return cached
     toks = F.split(F.trim(F.lower(text)), r"\s+")
     toks_h = F.transform(
         toks, portable_token_hash64 if portable else (lambda t: F.xxhash64(t)))
@@ -569,7 +575,8 @@ def simhash(text: Column, bits: int = 64, portable: bool = False) -> Column:
                           lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")))
     out = F.aggregate(bit_vals, F.lit(0).cast("long"),
                       lambda acc, x: acc.bitwiseOR(x))
-    _SIMHASH_CACHE[memo_key] = out
+    if memoizable:
+        _SIMHASH_CACHE[memo_key] = out
     return out
 
 

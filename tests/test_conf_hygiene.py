@@ -194,3 +194,39 @@ def test_ipv6_parse_survives_ansi_mode(spark):
             want = None
         got = (r.p.hi, r.p.lo) if r.p is not None else None
         assert got == want, (c, got, want)
+
+
+def test_memoized_trees_not_reused_across_resolved_plans(spark):
+    """Round-9 regression pin: the ipv6-parse and simhash expression-tree
+    memos key on Column.toString(), which PRINTS a DataFrame-resolved
+    attribute without its exprId. Caching a tree built from ``df.ip``
+    would re-bind the first plan's exprId into every later query with a
+    same-named column and fail analysis (MISSING_ATTRIBUTES) — found by
+    the hypothesis differential, which builds a fresh DataFrame per
+    example. Resolved inputs must bypass the memo; unresolved inputs
+    (the production accessor shape) stay memoized."""
+    from pyspark.sql import functions as F
+
+    from fluent_plugin_geoip_spark.functions.binding import (
+        is_plan_independent)
+    from fluent_plugin_geoip_spark.functions.ipv6 import ipv6_str_to_longs
+    from fluent_plugin_geoip_spark.operators.dedup import simhash
+
+    assert is_plan_independent(F.col("ip").cast("string"))
+
+    df1 = spark.createDataFrame([("::1", "a b")], "ip string, t string")
+    df2 = spark.createDataFrame([("::2", "a b")], "ip string, t string")
+    assert not is_plan_independent(df1.ip)
+
+    # resolved columns from two DIFFERENT plans, same names: both must
+    # analyze and compute (the broken memo failed the second select)
+    r1 = df1.select(ipv6_str_to_longs(df1.ip).alias("p"),
+                    simhash(df1.t).alias("s")).collect()[0]
+    r2 = df2.select(ipv6_str_to_longs(df2.ip).alias("p"),
+                    simhash(df2.t).alias("s")).collect()[0]
+    assert r1.p == (0, 1) and r2.p == (0, 2)
+    assert r1.s == r2.s  # same text, same signature
+
+    # unresolved form still resolves against both plans (memo hit path)
+    for df in (df1, df2):
+        df.select(ipv6_str_to_longs(F.col("ip"))).collect()
