@@ -334,7 +334,7 @@ def lsh_candidate_pairs(df: DataFrame, sig_col: str, id_col: str = "id",
              .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
              .distinct()
              .persist())
-    pairs.count()  # materialize (small), then release the upstream caches
+    n_pairs = pairs.count()  # materialize (small), release upstream caches
     # defensive read: if the metric row ever vanished (the round-5 AQE
     # empty-relation shape — not reproduced at this placement on 4.1, but
     # cheap to guard), the observed subtree was empty, so 0 is exact
@@ -343,6 +343,9 @@ def lsh_candidate_pairs(df: DataFrame, sig_col: str, id_col: str = "id",
         log.warning("lsh_candidate_pairs: dropping %d over-full buckets "
                     "(> %d ids)", n_dropped, max_bucket)
     sigs.unpersist()
+    # advisory: the count the materialization barrier already paid for,
+    # consumed by minhash_lsh_dedup's adaptive estimate screen (round 9)
+    pairs._fpg_n_pairs = n_pairs
     return pairs
 
 
@@ -392,6 +395,7 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str = "doc_id",
                       use_pandas_sig: bool = True,
                       exact_grams: bool = False,
                       prefilter_margin: float | None | str = "auto",
+                      screen_min_candidates: int = 10_000,
                       ) -> DataFrame:
     """Near-duplicate pairs: MinHash-LSH candidates verified by exact
     n-gram Jaccard. Returns (id_a, id_b, jaccard).
@@ -426,7 +430,21 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str = "doc_id",
     same "never" class as the banding recall bound (and the conditioning
     on the matched band's rows biases the estimate UP, further in recall's
     favor). ``None`` disables the screen (output then provably identical
-    by enumeration rather than probabilistically certain)."""
+    by enumeration rather than probabilistically certain).
+
+    ``screen_min_candidates`` (round 9): the screen is skipped when the
+    candidate count — already known from the pair-materialization barrier,
+    so the decision costs no extra job — falls under this bound. The
+    screen's costs are FIXED per invocation (a position-encode pass over
+    the full signature table plus two joins); its savings are
+    PER-CANDIDATE (gram arrays not shipped to the verifier). Below ~10k
+    candidates the exact verifier moves at most a few tens of MB and the
+    screen cannot recover its own overhead at any cluster size (measured
+    locally: the default 16×8 banding yields ~500 candidates on the sf0.1
+    corpus and the screen is a pure +0.5 s; the 32×4 oracle form yields
+    ~360k and the screen is a ~1000× verification-byte cut). Skipping is
+    output-invariant — the screen only prunes pairs the exact verifier
+    would reject. ``0`` always screens."""
     assert bands * rows == num_hashes
     if use_pandas_sig:
         sigs = minhash_signatures_pandas(df, id_col, text_col, n, num_hashes)
@@ -440,7 +458,9 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str = "doc_id",
     sigs = sigs.persist()
     cands = lsh_candidate_pairs(sigs, "sig", bands=bands, rows=rows,
                                 max_bucket=max_bucket)
-    if prefilter_margin is not None:
+    n_cands = getattr(cands, "_fpg_n_pairs", None)
+    if prefilter_margin is not None and (
+            n_cands is None or n_cands >= screen_min_candidates):
         cutoff = max(0.0, threshold - _screen_margin(
             prefilter_margin, threshold, num_hashes))
         # positional-match count via position-encoded signatures +
@@ -829,19 +849,22 @@ def connected_components(pairs: DataFrame, max_iters: int = 25,
     owns releasing them with :func:`release_checkpoint` once fully
     consumed (after which they cannot be recomputed).
 
-    ``driver_max_edges`` (round 9): hard edge-count bound under which the
+    ``driver_max_edges`` (round 9): hard PAIR-row bound under which the
     labeling is computed by an exact driver-side union-find over a bounded
     collect instead of the distributed loop — on tiny graphs (every
     near-dup component set at bench scale, every incremental touched
     subgraph) the distributed rounds are pure per-job fixed cost.
     ``None`` → :data:`DRIVER_CC_MAX_EDGES`; ``0`` disables the fast path
     (the unit tests certifying the distributed algorithms do this).
-    The edge count is observed during the checkpoint job, so the guard
-    costs no extra job; above the bound the distributed path runs
-    unchanged, which is what keeps the design 100 TB-safe. On the fast
-    path ``max_iters`` does not apply (the result is exact by
-    construction) and the returned labels are a plain local-backed
-    DataFrame (``release_checkpoint`` on them is a no-op).
+    The guard is one bounded ``limit(bound+1)`` take over the narrow raw
+    pair projection (no shuffle; the collected rows ARE the fast path's
+    input), so the undirected-distinct edge shuffle is built only when
+    the graph overflows the bound and the distributed path actually
+    needs it — which is what keeps the design 100 TB-safe: above the
+    bound the cost is one aborted bounded take. On the fast path
+    ``max_iters`` does not apply (the result is exact by construction)
+    and the returned labels are a plain local-backed DataFrame
+    (``release_checkpoint`` on them is a no-op).
 
     ``initial_labels`` (optional, label_prop only — star recomputes from
     scratch): an (id, comp) seeding. When the caller already KNOWS a valid
@@ -857,53 +880,57 @@ def connected_components(pairs: DataFrame, max_iters: int = 25,
     if algorithm not in ("auto", "label_prop", "star"):
         raise ValueError(
             f"algorithm must be 'auto'|'label_prop'|'star', got {algorithm!r}")
-    # localCheckpoint, not persist: the loop re-ANALYZES its whole logical
-    # plan on every round's action, and when `pairs` hangs off a deep
-    # lineage (a probe through a bucketed catalog table, an LSH pipeline),
-    # per-round plan compilation alone dwarfs the tiny subgraph's compute —
-    # measured 8–10 s/round vs ~1 s on an identical graph with flat
-    # lineage. Checkpointing cuts the lineage so every round plans against
-    # a LogicalRDD leaf. (Same executor-loss caveat as the labels
-    # checkpoints, documented below.) The edge count rides the checkpoint
-    # job via observe() — it gates the driver fast path below for free.
-    # (Round-9 note: replacing checkpoint+observe with one bounded
-    # ``limit(bound+1).toPandas()`` was tried and REVERTED — the global
-    # limit plans as a single-partition CollectLimit over the distinct,
-    # serializing the edge shuffle through one task; measured ~0.7 s
-    # SLOWER per components query than the two distributed jobs.)
-    from pyspark.sql import Observation
-    cnt_obs = Observation()
+    limit = (DRIVER_CC_MAX_EDGES if driver_max_edges is None
+             else int(driver_max_edges))
+    if limit > 0:
+        # Driver union-find fast path (round 9, the round-8 VERDICT item-5
+        # device): below the hard pair bound, every distributed round is
+        # pure fixed job overhead on a tiny graph — measured ~0.6 s per
+        # shuffle job on the bench box vs milliseconds of actual work —
+        # so the whole loop is replaced by one bounded collect + exact
+        # union-find + one Arrow createDataFrame. The guard is a bounded
+        # ``limit(bound+1).toPandas()`` over the RAW pair projection — a
+        # NARROW plan (no union/distinct upstream), so CollectLimit's
+        # incremental take streams cached/narrow partitions instead of
+        # serializing a shuffle through one task (the earlier round-9
+        # attempt that put the limit ABOVE the distinct was 0.7 s slower
+        # than checkpoint+observe and was reverted; the distinct is not
+        # needed for union-find — duplicate or directed-only edges union
+        # identically). This also keeps the undirected-distinct edge
+        # shuffle entirely OFF the fast path. Identical labeling by
+        # construction (see _driver_components; pinned against both
+        # distributed algorithms on random graphs in
+        # tests/test_training_ops.py), deterministic, and scale-safe: the
+        # bound is a hard row guard; anything bigger pays one aborted
+        # bounded take (limit+1 rows) and runs the unchanged distributed
+        # path. The returned labels are NOT checkpoint-backed on this
+        # path; release_checkpoint() on them is a documented no-op.
+        from ..confutil import scoped_conf
+        raw = pairs.select(F.col("id_a").alias("src"),
+                           F.col("id_b").alias("dst"))
+        with scoped_conf(pairs.sparkSession,
+                         "spark.sql.execution.arrow.pyspark.enabled",
+                         "true"):
+            e_pdf = raw.limit(limit + 1).toPandas()
+        if len(e_pdf) <= limit:
+            labels = _driver_components(raw, initial_labels, limit,
+                                        e_pdf=e_pdf)
+            if labels is not None:
+                return labels
+    # Distributed path. localCheckpoint, not persist: the loop re-ANALYZES
+    # its whole logical plan on every round's action, and when `pairs`
+    # hangs off a deep lineage (a probe through a bucketed catalog table,
+    # an LSH pipeline), per-round plan compilation alone dwarfs the tiny
+    # subgraph's compute — measured 8–10 s/round vs ~1 s on an identical
+    # graph with flat lineage. Checkpointing cuts the lineage so every
+    # round plans against a LogicalRDD leaf. (Same executor-loss caveat
+    # as the labels checkpoints, documented below.)
     edges = (pairs.select(F.col("id_a").alias("src"),
                           F.col("id_b").alias("dst"))
              .union(pairs.select(F.col("id_b").alias("src"),
                                  F.col("id_a").alias("dst")))
              .distinct()
-             .observe(cnt_obs, F.count(F.lit(1)).alias("n"))
              .localCheckpoint())
-    limit = (DRIVER_CC_MAX_EDGES if driver_max_edges is None
-             else int(driver_max_edges))
-    # defensive: a vanished metric must read as OVER the bound (safe
-    # distributed fallback), never as 0 (which would invite an unbounded
-    # driver collect)
-    _n = cnt_obs.get.get("n")
-    n_edges = int(_n) if _n is not None else limit + 1
-    if n_edges <= limit and limit > 0:
-        # Driver union-find fast path (round 9, the round-8 VERDICT item-5
-        # device): below the hard edge bound, every distributed round is
-        # pure fixed job overhead on a tiny graph — measured ~0.6 s per
-        # shuffle job on the bench box vs milliseconds of actual work —
-        # so the whole loop is replaced by one bounded collect + exact
-        # union-find + one Arrow createDataFrame. Identical labeling by
-        # construction (see _driver_components; pinned against both
-        # distributed algorithms on random graphs in
-        # tests/test_training_ops.py), deterministic, and scale-safe: the
-        # bound is a hard row guard, anything bigger runs the unchanged
-        # distributed path. The returned labels are NOT checkpoint-backed
-        # on this path; release_checkpoint() on them is a documented no-op.
-        labels = _driver_components(edges, initial_labels, limit)
-        if labels is not None:
-            release_checkpoint(edges)
-            return labels
     if algorithm == "star":
         try:
             return _star_components(edges, max_iters)

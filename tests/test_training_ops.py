@@ -946,16 +946,22 @@ def test_minhash_prefilter_margin_preserves_output(spark, docs):
     """The signature estimate screen (round 7) must be output-invariant:
     with the default margin, screened and unscreened runs return the
     identical verified pair set — the screen only removes candidates whose
-    estimated J sits ≥8σ below the threshold, which no true pair does."""
+    estimated J sits ≥8σ below the threshold, which no true pair does.
+    Round 9 adds the adaptive skip (``screen_min_candidates``): a small
+    candidate set bypasses the screen entirely, which must also be
+    output-invariant — all three forms (screen FORCED via
+    screen_min_candidates=0, adaptive default, screen disabled) are pinned
+    identical here."""
     sample = docs.filter(F.col("doc_id") < 300)
-    screened = {(r.id_a, r.id_b, r.jaccard) for r in dedup.minhash_lsh_dedup(
-        sample, threshold=0.8, bands=32, rows=4, num_hashes=128,
-        exact_grams=True, max_bucket=1_000_000).collect()}
+    kw = dict(threshold=0.8, bands=32, rows=4, num_hashes=128,
+              exact_grams=True, max_bucket=1_000_000)
+    forced = {(r.id_a, r.id_b, r.jaccard) for r in dedup.minhash_lsh_dedup(
+        sample, screen_min_candidates=0, **kw).collect()}
+    adaptive = {(r.id_a, r.id_b, r.jaccard) for r in dedup.minhash_lsh_dedup(
+        sample, **kw).collect()}
     unscreened = {(r.id_a, r.id_b, r.jaccard) for r in dedup.minhash_lsh_dedup(
-        sample, threshold=0.8, bands=32, rows=4, num_hashes=128,
-        exact_grams=True, max_bucket=1_000_000,
-        prefilter_margin=None).collect()}
-    assert screened == unscreened and len(screened) > 0
+        sample, prefilter_margin=None, **kw).collect()}
+    assert forced == adaptive == unscreened and len(forced) > 0
 
 
 def test_incremental_sig_store_screen_preserves_output(spark, tmp_path):
