@@ -124,12 +124,21 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
         pairs = (candidates
                  .join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
                  .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b"))
+    # localCheckpoint, not persist+count (round 9): the verified pairs are
+    # the spine of every downstream consumer (connected components, the
+    # detach write, cluster updates), and each of those actions used to
+    # RE-ANALYZE the full LSH/probe lineage hanging under the cache —
+    # measured 0.6–1.0 s of driver-only gaps between jobs per query at
+    # bench scale. The eager checkpoint is the same materialization
+    # barrier AND truncates the plan to a LogicalRDD leaf. Release
+    # contract: callers free the blocks with release_checkpoint(); a
+    # legacy .unpersist() is a harmless no-op (blocks then free on driver
+    # GC). Executor-loss caveat as the other localCheckpoint sites.
     out = (pairs
            .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
            .filter(F.col("jaccard") >= threshold)
            .select("id_a", "id_b", "jaccard")
-           .persist())
-    out.count()  # materialize verified pairs (small), release shingle cache
+           .localCheckpoint())
     sh.unpersist()
     return out
 
@@ -327,6 +336,14 @@ def lsh_candidate_pairs(df: DataFrame, sig_col: str, id_col: str = "id",
     # whole-stage codegen instead; orientation comes from the strict a<b
     # filter (bucket ids are unique — one band entry per id), so the
     # bucket sort the old form needed is gone too.
+    # persist+count, NOT localCheckpoint (round 9, measured both ways):
+    # the candidate pairs are the build side of the verifier's semi-join
+    # and the spine of the screen joins, and a checkpoint-backed
+    # LogicalRDD loses the cache's size statistics — the planner then
+    # stops broadcasting the candidate-derived sides and the family got
+    # ~0.7 s SLOWER per query. The columnar cache keeps the stats; the
+    # deep-lineage planning cost is cut downstream instead, where the
+    # verified-pairs checkpoint truncates for every later consumer.
     pairs = (grouped.filter(F.col("bucket_size") <= max_bucket)
              .select(F.explode("ids").alias("a"), F.col("ids"))
              .select("a", F.explode("ids").alias("b"))
@@ -497,10 +514,11 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str = "doc_id",
         raw_cands = cands
     out = ngram_jaccard_pairs(df, id_col, text_col, n, threshold,
                               candidates=cands, exact_grams=exact_grams)
-    # the verifier materialized its (persisted) result, so every upstream
-    # cache can be released here rather than leaking per invocation
-    # (round-7: found by the dedup_clusters cache-hygiene test). The
-    # RETURNED verified pairs stay persisted — caller owns unpersist().
+    # the verifier materialized its (checkpoint-backed) result, so every
+    # upstream cache can be released here rather than leaking per
+    # invocation (round-7: found by the dedup_clusters cache-hygiene
+    # test). The RETURNED verified pairs are checkpoint-backed — callers
+    # free them with release_checkpoint() (.unpersist() is a no-op).
     sigs.unpersist()
     if raw_cands is not cands:
         raw_cands.unpersist()
@@ -684,8 +702,10 @@ def simhash_dedup(df: DataFrame, id_col: str = "doc_id",
            .filter(F.col("hamming") <= max_hamming)
            .select("id_a", "id_b", "hamming")
            .distinct()
-           .persist())
-    out.count()  # materialize (small), release the upstream caches
+           # eager checkpoint = the materialization barrier + lineage
+           # truncation for downstream consumers (round 9, see
+           # ngram_jaccard_pairs); release via release_checkpoint()
+           .localCheckpoint())
     n_dropped = int(obs.get.get("n_dropped") or 0)  # see lsh_candidate_pairs
     if n_dropped:
         log.warning("simhash_dedup: dropping %d over-full buckets "
@@ -1150,7 +1170,7 @@ def dedup_clusters(df: DataFrame, id_col: str = "doc_id",
     released before returning."""
     pairs = minhash_lsh_dedup(df, id_col, text_col, **lsh_kwargs)
     out = clusters_from_pairs(pairs)
-    pairs.unpersist()
+    release_checkpoint(pairs)
     return out
 
 
@@ -1991,10 +2011,16 @@ def incremental_minhash_dedup(
                     # pair table stays duplicate-free (round-7 ADVICE,
                     # re-sited in round 8 for scale)
                     .distinct()
-                    .persist())
-        # the ONE probe barrier: materializes entries → candidates →
-        # screen in a single job, then releases everything upstream
-        screened.count()
+                    # the ONE probe barrier: the eager checkpoint
+                    # materializes entries → candidates → screen in a
+                    # single job AND truncates the lineage, so the
+                    # verifier's three references to the candidate set
+                    # plan against a LogicalRDD leaf instead of
+                    # re-analyzing the whole probe per action (round 9 —
+                    # measured ~1 s of driver-only planning gap between
+                    # the screen job and the first verify job at bench
+                    # scale; the same device as ngram_jaccard_pairs)
+                    .localCheckpoint())
         all_sigs.unpersist()
         bsigs.unpersist()
         cands.unpersist()
@@ -2016,7 +2042,11 @@ def incremental_minhash_dedup(
              .parquet(store_dir))
     # ngram_jaccard_pairs materialized its result eagerly, so both caches
     # can be released now (round-5 ADVICE: cached blocks accumulated across
-    # repeated daily/streaming invocations in a long-lived session)
+    # repeated daily/streaming invocations in a long-lived session).
+    # cands is the raw persisted candidates on the unscreened path and the
+    # checkpoint-backed screened set otherwise — each call is a no-op for
+    # the other backing, so both run unconditionally.
+    release_checkpoint(cands)
     cands.unpersist()
     new_entries.unpersist()
     return verified

@@ -713,7 +713,7 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # invocation for an ordering the parquet round-trip discards (round 9)
     res = _detached(out, "doc_id", tag="corpus_curation")
     release_checkpoint(comps)
-    pairs.unpersist()
+    release_checkpoint(pairs)
     return res
 
 
@@ -994,7 +994,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # detach + release per invocation (see q_corpus_curation)
     res = _detached(out, "doc_id", tag="dedup_components")
     release_checkpoint(comps)
-    pairs.unpersist()
+    release_checkpoint(pairs)
     return res
 
 
@@ -1018,7 +1018,7 @@ def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.col("comp").alias("component")))
     res = _detached(out, "doc_id", tag="dedup_components_star")
     release_checkpoint(comps)
-    pairs.unpersist()
+    release_checkpoint(pairs)
     return res
 
 
@@ -1031,7 +1031,8 @@ _CLUSTER_TABLES: dict[str, str] = {}
 def _cluster_table(spark: SparkSession, sf_dir: str) -> str:
     import tempfile
 
-    from ..operators.dedup import clusters_from_pairs, minhash_lsh_dedup
+    from ..operators.dedup import (
+        clusters_from_pairs, minhash_lsh_dedup, release_checkpoint)
     cached = _CLUSTER_TABLES.get(sf_dir)
     if cached is None or not os.path.isdir(cached):
         d = _documents(spark, sf_dir)
@@ -1042,7 +1043,7 @@ def _cluster_table(spark: SparkSession, sf_dir: str) -> str:
         path = tempfile.mkdtemp(prefix="geoip_clusters_")
         clusters.write.mode("overwrite").parquet(path)
         clusters.unpersist()
-        pairs.unpersist()
+        release_checkpoint(pairs)
         _CLUSTER_TABLES[sf_dir] = cached = path
     return cached
 
@@ -1079,7 +1080,8 @@ _CORPUS_CLUSTERS: dict[str, str] = {}
 def _corpus_cluster_table(spark: SparkSession, sf_dir: str) -> str:
     import tempfile
 
-    from ..operators.dedup import clusters_from_pairs, minhash_lsh_dedup
+    from ..operators.dedup import (
+        clusters_from_pairs, minhash_lsh_dedup, release_checkpoint)
     cached = _CORPUS_CLUSTERS.get(sf_dir)
     if cached is None or not os.path.isdir(cached):
         corpus = _documents(spark, sf_dir).filter(F.col("doc_id") % 5 != 0)
@@ -1090,7 +1092,7 @@ def _corpus_cluster_table(spark: SparkSession, sf_dir: str) -> str:
         path = tempfile.mkdtemp(prefix="geoip_corpus_clusters_")
         clusters.write.mode("overwrite").parquet(path)
         clusters.unpersist()
-        pairs.unpersist()
+        release_checkpoint(pairs)
         _CORPUS_CLUSTERS[sf_dir] = cached = path
     return cached
 
@@ -1106,7 +1108,8 @@ def q_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     to agree exactly with a from-scratch re-clustering, per-component-id.
     Repeated invocations measure the daily cost: probe + touched-cluster
     relabeling, never a corpus recompute."""
-    from ..operators.dedup import incremental_minhash_dedup, update_clusters
+    from ..operators.dedup import (
+        incremental_minhash_dedup, release_checkpoint, update_clusters)
     d = _documents(spark, sf_dir)
     corpus = d.filter(F.col("doc_id") % 5 != 0)
     new = d.filter(F.col("doc_id") % 5 == 0)
@@ -1123,7 +1126,7 @@ def q_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # detach + release per invocation (see q_corpus_curation)
     res = _detached(out, "doc_id", tag="incremental_clusters")
     updated.unpersist()
-    pairs.unpersist()
+    release_checkpoint(pairs)
     return res
 
 

@@ -345,6 +345,11 @@ def make_incremental_dedup_handler(
             (pairs.withColumn("batch_id", F.lit(batch_id))
              .write.mode("overwrite").partitionBy("batch_id")
              .parquet(pairs_dir))
+        # verified pairs are checkpoint-backed since round 9 — release the
+        # blocks per batch instead of leaving them to driver GC (a
+        # long-running stream accumulates one block set per microbatch)
+        from ..operators.dedup import release_checkpoint
+        release_checkpoint(pairs)
         if bucketed and batch_id not in read_applied():
             from ..operators.dedup import signature_band_entries
             entries = (signature_band_entries(
