@@ -92,9 +92,22 @@ def _shingle_grams(text: Column, n: int) -> Column:
 
 
 def jaccard(a: Column, b: Column) -> Column:
-    inter = F.size(F.array_intersect(a, b))
-    union = F.size(F.array_union(a, b))
-    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    """Exact Jaccard of two DISTINCT-element arrays (both shingle forms
+    are array_distinct outputs). |A∪B| is derived as |A|+|B|−|A∩B| —
+    identical integers for sets, same int/int division, bit-identical
+    double — so ONE hash-set build (the intersect) replaces the two the
+    array_intersect + array_union pair cost; the intersect size is
+    let-bound so the numerator, denominator and the guard all read the
+    same slot (round 9: this is the per-pair hot loop of every
+    verification join and of the all-pairs oracle form)."""
+    return let_(
+        F.size(F.array_intersect(a, b)),
+        # i >= 0 guards null inputs: legacy size(NULL) is -1 (ANSI: null)
+        # — either way the condition fails and 0.0 comes back, exactly
+        # like the old union-size guard
+        lambda i: F.when((i >= 0) & (F.size(a) + F.size(b) - i > 0),
+                         i / (F.size(a) + F.size(b) - i))
+                   .otherwise(F.lit(0.0)))
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -117,7 +130,16 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     sh = df.select(F.col(id_col).alias("id"),
                    shingler(F.col(text_col), n).alias("sh")).persist()
     if candidates is None:
-        a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+        # all-pairs is a BroadcastNestedLoopJoin whose output parallelism
+        # equals the STREAM side's partition count — a few hundred docs
+        # read from one parquet file is ONE partition, so every pair's
+        # set-intersection ran in a single task (round 9: measured 13 s
+        # single-task vs ~0.5 s spread; the guide-§2.5 straggler shape).
+        # Round-robin repartition of the few-hundred-row stream side is
+        # noise next to the O(n²) verify it parallelizes.
+        par = df.sparkSession.sparkContext.defaultParallelism
+        a = (sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+             .repartition(par))
         b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     else:
